@@ -1,0 +1,62 @@
+"""Reenactment inference CLI (capability parity with the reference's
+``avatarHD_reenactment.py``; SURVEY.md §2.4, call stack §3.3).
+
+Usage:
+  python -m havatar_tpu.cli.reenact --ckpt CKPT --savedir OUT --split SPLIT \
+      [--config singleview_512_HD_base.yml]
+
+``--ckpt`` accepts either a reference torch ``latest.pt``/``*.ckpt`` (it is
+converted on the fly) or an orbax checkpoint directory from
+``train_avatarHD``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax.numpy as jnp
+
+from havatar_tpu.checkpoints import CheckpointManager, convert
+from havatar_tpu.cli.common import resolve_config, seed_everything
+from havatar_tpu.infer.reenact import run_reenactment
+
+
+def load_inference_weights(ckpt_path: str):
+    """Returns (renderer variables, latent_codes, g_ema params)."""
+    if ckpt_path.endswith((".pt", ".ckpt")):
+        conv = convert.convert_stage2_checkpoint(ckpt_path)
+        assert conv["latent_codes"] is not None, "checkpoint lacks latent_codes"
+        assert conv["g_ema"] is not None, "checkpoint lacks g_ema"
+        return conv["variables"], conv["latent_codes"], conv["g_ema"]["params"]
+    restored = CheckpointManager(ckpt_path).restore()
+    assert restored is not None, f"no checkpoint found in {ckpt_path}"
+    variables = {"params": restored["nerf_params"],
+                 "buffers": restored["nerf_buffers"]}
+    return variables, restored["latent_codes"], restored["g_ema_params"]
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", type=str, default="singleview_512_HD_base.yml")
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--savedir", type=str, default="./renders/")
+    p.add_argument("--split", type=str, required=True)
+    p.add_argument("--max-frames", type=int, default=0)
+    args = p.parse_args()
+
+    cfg = resolve_config(args.config)
+    seed_everything(cfg.experiment.randomseed)
+
+    variables, latent_codes, g_ema = load_inference_weights(args.ckpt)
+    stats = run_reenactment(
+        cfg, args.split, args.savedir, variables, latent_codes, g_ema,
+        seed=cfg.experiment.randomseed,
+        max_frames=args.max_frames or None)
+    print(json.dumps(stats))
+    print("Done!")
+
+
+if __name__ == "__main__":
+    main()

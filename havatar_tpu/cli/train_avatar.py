@@ -1,0 +1,104 @@
+"""Stage-1 NeRF avatar training CLI (capability parity with the reference's
+``train_avatar.py``; see SURVEY.md §2.4 and the call stack in §3.1).
+
+Usage:
+  python -m havatar_tpu.cli.train_avatar --datadir DATA --logdir LOGS \
+      [--config singleview_512_base.yml] [--ckpt RESUME_DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from havatar_tpu.checkpoints import CheckpointManager
+from havatar_tpu.cli.common import resolve_config, seed_everything, to_device_batch
+from havatar_tpu.data import AvatarDataset, Loader, infinite
+from havatar_tpu.train import stage1
+from havatar_tpu.train.losses import mse2psnr
+from havatar_tpu.utils.logging_util import MetricsWriter, create_code_snapshot, timestamp
+from havatar_tpu.utils.profiling import StepTimer
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--logdir", type=str, required=True)
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--config", type=str, default="singleview_512_base.yml")
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--max-iters", type=int, default=0,
+                   help="override cfg.experiment.train_iters (for smoke runs)")
+    p.add_argument("--pretrain-iters", type=int, default=3000,
+                   help="skinning-volume pretrain iterations (0 to skip)")
+    args = p.parse_args()
+
+    cfg = resolve_config(args.config)
+    rng = seed_everything(cfg.experiment.randomseed)
+
+    os.makedirs(args.logdir, exist_ok=True)
+    writer = MetricsWriter(args.logdir)
+    with open(os.path.join(args.logdir, f"config_{timestamp()}.yml"), "w") as f:
+        f.write(cfg.dump())
+    create_code_snapshot(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.path.join(args.logdir, f"code_bk_{timestamp()}.tar.gz"))
+
+    split = os.path.join(args.datadir, "sv_v31_all.json")
+    train_ds = AvatarDataset(split, "train", cfg,
+                             down_sample=cfg.dataset.down_sample)
+    train_loader = Loader(train_ds, batch_size=2,
+                          seed=cfg.experiment.randomseed)
+
+    rng, init_rng = jax.random.split(rng)
+    example = next(iter(Loader(train_ds, batch_size=2, shuffle=False,
+                               num_workers=1)))
+    model, state = stage1.init_state(cfg, init_rng, len(train_ds), example)
+
+    ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
+                                 save_interval_steps=cfg.experiment.save_every)
+    start_step = 0
+    if args.ckpt:
+        restored = CheckpointManager(args.ckpt).restore(template=state._asdict())
+        if restored is not None:
+            state = stage1.TrainState(**restored)
+            start_step = int(state.step)
+            print(f"resumed from step {start_step}")
+    elif args.pretrain_iters > 0:
+        # skinning-volume pretrain on fresh runs (spec: train_avatar.py:93-98)
+        rng, pre_rng = jax.random.split(rng)
+        new_params, hist = stage1.pretrain_skinning(
+            model, state.params, state.buffers, pre_rng,
+            cfg.models.coarse.Head_bounding, num_iter=args.pretrain_iters)
+        state = state._replace(params=new_params)
+        print(f"skinning pretrain done, final BCE {float(hist[-1]):.4f}")
+
+    train_step = stage1.make_train_step(model, cfg)
+
+    max_iters = args.max_iters or cfg.experiment.train_iters
+    timer = StepTimer()
+    data_iter = infinite(train_loader)
+    for i in range(start_step, max_iters):
+        batch = to_device_batch(next(data_iter))
+        rng, step_rng = jax.random.split(rng)
+        timer.start()
+        state, metrics = train_step(state, batch, step_rng)
+        if i % cfg.experiment.print_every == 0:
+            timer.stop(metrics["loss"])
+            msg = (f"[TRAIN] Iter: {i} Loss: {float(metrics['loss']):.6f} "
+                   f"PSNR: {float(metrics['psnr']):.4f} "
+                   f"s/iter: {timer.mean:.3f}")
+            print(msg, flush=True)
+            for k, v in metrics.items():
+                writer.scalar(f"train/{k}", float(v), i)
+        ckpt_mgr.save(i, state._asdict())
+
+    ckpt_mgr.wait()
+    print("Done!")
+
+
+if __name__ == "__main__":
+    main()

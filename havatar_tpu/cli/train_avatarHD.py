@@ -1,0 +1,138 @@
+"""Stage-2 HD (NeRF + StyleUNet GAN) training CLI (capability parity with the
+reference's ``train_avatarHD.py``; SURVEY.md §2.4, call stack §3.2).
+
+Usage:
+  python -m havatar_tpu.cli.train_avatarHD --datadir DATA --logdir LOGS \
+      --ckpt STAGE1_CKPT [--continue-training] [--config ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from havatar_tpu.checkpoints import CheckpointManager, convert
+from havatar_tpu.cli.common import resolve_config, seed_everything, to_device_batch
+from havatar_tpu.data import AvatarDataset, Loader, infinite
+from havatar_tpu.train import stage2
+from havatar_tpu.utils.logging_util import MetricsWriter, timestamp
+from havatar_tpu.utils.profiling import StepTimer
+
+
+def prepare_batch(batch, gen_size: int, render_size: int):
+    """Reshape the loader's flat arrays into the stage-2 image tensors
+    (spec analogue: train_avatarHD.py:188-198)."""
+    B = batch["mv_rays"].shape[0]
+    out = dict(batch)
+    out["gt_hr_img"] = batch["gt_color"].reshape(B, gen_size, gen_size, 3)
+    out["gt_lr_mask"] = batch["mv_rays"][..., -1:].reshape(
+        B, render_size, render_size, 1)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--logdir", type=str, required=True)
+    p.add_argument("--datadir", type=str, required=True)
+    p.add_argument("--config", type=str, default="singleview_512_HD_base.yml")
+    p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--continue-training", action="store_true")
+    p.add_argument("--max-iters", type=int, default=0)
+    args = p.parse_args()
+
+    cfg = resolve_config(args.config)
+    rng = seed_everything(cfg.experiment.randomseed)
+    render_size = cfg.models.StyleUnet.inp_size
+    gen_size = cfg.models.StyleUnet.out_size
+
+    os.makedirs(args.logdir, exist_ok=True)
+    writer = MetricsWriter(args.logdir)
+    with open(os.path.join(args.logdir, "config.yml"), "w") as f:
+        f.write(cfg.dump())
+
+    split = os.path.join(args.datadir, "sv_v31_all.json")
+    train_ds = AvatarDataset(split, "train", cfg,
+                             down_sample=cfg.dataset.down_sample,
+                             full_image=True)
+    loader = Loader(train_ds, batch_size=cfg.gan.batch,
+                    seed=cfg.experiment.randomseed)
+
+    rng, init_rng = jax.random.split(rng)
+    example = prepare_batch(
+        next(iter(Loader(train_ds, batch_size=cfg.gan.batch, shuffle=False,
+                         num_workers=1))), gen_size, render_size)
+    models, state = stage2.init_state(cfg, init_rng, len(train_ds), example)
+    renderer, generator, discriminator = models
+
+    # warm start / resume (spec: train_avatarHD.py:137-159)
+    if args.ckpt and os.path.exists(args.ckpt):
+        if args.ckpt.endswith((".pt", ".ckpt")):
+            # torch checkpoint from the reference (or our converter target)
+            if args.continue_training:
+                conv = convert.convert_stage2_checkpoint(args.ckpt)
+                state = state._replace(
+                    nerf_params=conv["variables"]["params"],
+                    nerf_buffers=conv["variables"]["buffers"],
+                    latent_codes=jnp.asarray(conv["latent_codes"]),
+                    g_params=conv["g"]["params"],
+                    d_params=conv["d"]["params"],
+                    g_ema_params=conv["g_ema"]["params"])
+            else:
+                conv = convert.convert_stage1_checkpoint(args.ckpt)
+                state = state._replace(
+                    nerf_params=conv["variables"]["params"],
+                    nerf_buffers=conv["variables"]["buffers"])
+                if conv["latent_codes"] is not None:
+                    state = state._replace(
+                        latent_codes=jnp.asarray(conv["latent_codes"]))
+                pre = "pretrained_models/img_translation.ckpt"
+                if os.path.exists(pre):
+                    gconv = convert.convert_stage2_checkpoint(pre)
+                    state = state._replace(g_params=gconv["g"]["params"],
+                                           d_params=gconv["d"]["params"],
+                                           g_ema_params=gconv["g_ema"]["params"])
+        else:
+            restored = CheckpointManager(args.ckpt).restore(
+                template=state._asdict())
+            if restored is not None:
+                state = stage2.Stage2State(**restored)
+
+    d_step, r1_step, g_step = stage2.make_steps(
+        cfg, renderer, generator, discriminator)
+
+    ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
+                                 save_interval_steps=cfg.experiment.save_every)
+
+    max_iters = args.max_iters or cfg.gan.iter
+    timer = StepTimer()
+    data_iter = infinite(loader)
+    start = int(state.step)
+    for i in range(start, max_iters):
+        batch = to_device_batch(
+            prepare_batch(next(data_iter), gen_size, render_size))
+        rng, rd, rg = jax.random.split(rng, 3)
+        timer.start()
+        state, d_metrics = d_step(state, batch, rd)
+        if i % cfg.gan.d_reg_every == 0:
+            state, r1_metrics = r1_step(state, batch)
+            d_metrics.update(r1_metrics)
+        state, g_metrics = g_step(state, batch, rg)
+        if i % cfg.experiment.print_every == 0:
+            timer.stop(g_metrics["psnr"])
+            print(f"[HD] iter {i} PSNR {float(g_metrics['psnr']):.3f} "
+                  f"d {float(d_metrics['d']):.4f} g {float(g_metrics['g']):.4f} "
+                  f"s/iter {timer.mean:.3f}", flush=True)
+            for k, v in {**d_metrics, **g_metrics}.items():
+                writer.scalar(f"train/{k}", float(v), i)
+        ckpt_mgr.save(i, state._asdict())
+
+    ckpt_mgr.wait()
+    print("Done!")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Facial-model-conditioned double-plane NeRF field.
+
+Behavioral spec: reference
+``ConditionalTriplaneNeRFModel_multiRender_split_view``
+(model/nerf_model.py:10-117) at its default operating point
+(model/nerf_trainer.py:20-26): enc_mode='split', triPlane_feat_dim=64,
+rgb_feat_dim=3, triplane_res=128, sh_deg=0, posenc 8 freqs without identity.
+
+Two StyleGAN generators turn orthographic 3DMM condition renders into feature
+planes — XY from the front condition, ZY from (flipped-left, right)
+(model/nerf_model.py:58-86; the left cond is flipped horizontally and its
+mask channel dropped, :70-72). Points are box-warped, sampled against both
+planes (plane-axis convention utils/util.py:378-384), and a small MLP
+produces (rgb 3, feature 64, sigma 1).
+
+TPU notes: plane generation happens ONCE per frame; the per-point MLP is the
+hot loop — formulated as [N, C] matmuls that tile directly onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from havatar_tpu.models.generators import PlaneGenerator
+from havatar_tpu.ops import (
+    BoxWarp,
+    eval_sh,
+    positional_encoding,
+    posenc_dim,
+    sample_from_triplane,
+)
+
+
+class DoublePlaneNeRFField(nn.Module):
+    xyz_bounding: Tuple[Tuple[float, float], ...] = (
+        (-1.5, 1.5), (-1.6, 1.4), (-1.6, 1.2))
+    num_encoding_fn_xyz: int = 8
+    latent_code_dim: int = 44      # latent 32 + flattened inv_head_T 12
+    plane_feat_dim: int = 64
+    rgb_feat_dim: int = 3
+    plane_res: int = 128
+    cond_res: int = 256
+    plane_middle_size: int = 16
+    sh_deg: int = 0
+    hidden: int = 128
+    feat_dim: int = 64             # fc_rgbFeat width (model/nerf_model.py:50)
+
+    def setup(self):
+        self.XY_gen = PlaneGenerator(
+            out_ch=self.plane_feat_dim, out_size=self.plane_res,
+            style_dim=self.latent_code_dim, middle_size=self.plane_middle_size,
+            inp_size=self.cond_res, inp_ch=7, n_mlp=4,
+        )
+        self.YZ_gen = PlaneGenerator(
+            out_ch=self.plane_feat_dim, out_size=self.plane_res,
+            style_dim=self.latent_code_dim, middle_size=self.plane_middle_size,
+            inp_size=self.cond_res, inp_ch=13, n_mlp=4,
+        )
+        self.gridwarper = BoxWarp.from_bounds(self.xyz_bounding)
+        self.layer0 = nn.Dense(self.hidden)
+        self.layer1 = nn.Dense(self.hidden)
+        self.fc_alpha = nn.Dense(1)
+        self.fc_rgbFeat = nn.Dense(self.feat_dim)
+        self.fc_rgb = nn.Dense(self.rgb_feat_dim * (self.sh_deg + 1) ** 2)
+
+    def generate_planes(
+        self,
+        latents: jnp.ndarray,       # [B, 32]
+        cond_c: jnp.ndarray,        # [B, 12] flattened inv_head_T
+        front_cond: jnp.ndarray,    # [B, H, W, 7]
+        left_cond: jnp.ndarray,     # [B, H, W, 7]
+        right_cond: jnp.ndarray,    # [B, H, W, 7]
+    ) -> jnp.ndarray:
+        """-> conditioned feature planes [2, B, R, R, C]."""
+        z = jnp.concatenate([latents, cond_c.reshape(latents.shape[0], -1)], -1)
+        # flip left cond horizontally so the right plane satisfies
+        # top-left=(-1,-1) (model/nerf_model.py:70); drop its mask channel
+        left = jnp.flip(left_cond, axis=2)[..., :-1]
+        xy = self.XY_gen(z, front_cond)
+        zy = self.YZ_gen(z, jnp.concatenate([left, right_cond], axis=-1))
+        return jnp.stack([xy, zy], axis=0)
+
+    def sample_plane_features(self, pts: jnp.ndarray, planes: jnp.ndarray) -> jnp.ndarray:
+        """[B, N, 3] x [2, B, R, R, C] -> [B, N, 2C]."""
+        warped = self.gridwarper(pts)
+        feats = sample_from_triplane(warped, planes, padding_mode="zeros")
+        B, N = feats.shape[:2]
+        # channel order matches the reference's reshape of [B,N,C,P] -> C*P
+        # (model/nerf_model.py:99): feature index = c*P + p
+        return feats.reshape(B, N, -1)
+
+    def __call__(
+        self,
+        pts: jnp.ndarray,            # [B, N, 3] canonical points (unwarped)
+        viewdirs: Optional[jnp.ndarray],  # [B, N, 3] (unused when sh_deg=0)
+        planes: jnp.ndarray,         # [2, B, R, R, C]
+    ) -> jnp.ndarray:
+        """-> radiance field [B, N, rgb + feat + 1]."""
+        pts_feat = self.sample_plane_features(pts, planes)
+        xyz_emb = positional_encoding(pts, self.num_encoding_fn_xyz,
+                                      include_input=False)
+        x = jnp.concatenate([pts_feat, xyz_emb], axis=-1)
+        x = jax.nn.relu(self.layer0(x))
+        x = jax.nn.relu(self.layer1(x))
+        alpha = self.fc_alpha(x)
+        feat = self.fc_rgbFeat(x)
+        sh = self.fc_rgb(feat)
+        if self.sh_deg == 0:
+            rgb = sh
+        else:
+            rgb = eval_sh(
+                self.sh_deg,
+                sh.reshape(*sh.shape[:-1], -1, (self.sh_deg + 1) ** 2),
+                viewdirs,
+            )
+        return jnp.concatenate([rgb, feat, alpha], axis=-1)
