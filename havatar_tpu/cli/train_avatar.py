@@ -78,6 +78,45 @@ def main() -> None:
 
     train_step = stage1.make_train_step(model, cfg)
 
+    # validation set: full images at native resolution
+    # (spec: train_avatar.py:63-66,182-300)
+    val_ds = AvatarDataset(split, "val", cfg, down_sample=1.0)
+    val_loader = Loader(val_ds, batch_size=1, shuffle=True, num_workers=1,
+                        seed=cfg.experiment.randomseed + 1)
+    val_iter = infinite(val_loader)
+    val_cfg = cfg.nerf.validation
+
+    def run_validation(step: int) -> None:
+        vb = to_device_batch(next(val_iter))
+        rays = vb["mv_rays"]
+        R = rays.shape[1]
+        chunk = min(R, 16384)
+        while R % chunk:
+            chunk //= 2
+        out = model.apply(
+            {"params": state.params, "buffers": state.buffers},
+            rays[..., :8], rays[..., 8:11],
+            state.latent_codes[vb["dataset_idx"]], vb["inv_head_T"],
+            vb["front_render_cond"], vb["left_render_cond"],
+            vb["right_render_cond"],
+            chunk_size=chunk, num_coarse=val_cfg.num_coarse,
+            num_fine=val_cfg.num_fine, perturb=False,
+            method=stage1.AvatarRenderer.render_chunked)
+        H = W = int(R ** 0.5)
+        rgb = out["rgb_fine"] if out["rgb_fine"] is not None else out["rgb_coarse"]
+        rgb = np.asarray(rgb[0, :, :3]).reshape(H, W, 3)
+        target = np.asarray(vb["gt_color"][0]).reshape(H, W, 3)
+        acc = np.asarray((out["acc_fine"] if out["acc_fine"] is not None
+                          else out["acc_coarse"])[0]).reshape(H, W)
+        psnr = float(mse2psnr(np.mean((rgb - target) ** 2)))
+        writer.scalar("validation/psnr", psnr, step)
+        writer.image("validation/rgb_fine", np.clip(rgb, 0, 1), step)
+        writer.image("validation/img_target", np.clip(target, 0, 1), step)
+        writer.image("validation/acc_fine", np.clip(acc, 0, 1)[..., None], step)
+        err = np.linalg.norm(rgb - target, axis=-1, keepdims=True)
+        writer.image("validation/err_img", np.clip(err, 0, 1), step)
+        print(f"[VAL] iter {step} PSNR {psnr:.4f}", flush=True)
+
     max_iters = args.max_iters or cfg.experiment.train_iters
     timer = StepTimer()
     data_iter = infinite(train_loader)
@@ -94,6 +133,8 @@ def main() -> None:
             print(msg, flush=True)
             for k, v in metrics.items():
                 writer.scalar(f"train/{k}", float(v), i)
+        if i > start_step and i % cfg.experiment.validate_every == 0:
+            run_validation(i)
         ckpt_mgr.save(i, state._asdict())
 
     ckpt_mgr.wait()

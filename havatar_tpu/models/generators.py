@@ -200,10 +200,6 @@ class StyleUNetSR(nn.Module):
     def n_latent(self) -> int:
         return self.log_size * 2 - (self.middle_log_size * 2 - 1) + 1
 
-    def style_forward(self, z):
-        return StyleMLP(self.style_dim, self.style_dim, self.n_mlp,
-                        self.lr_mlp, name="style")(z)
-
     @nn.compact
     def __call__(
         self,
@@ -218,17 +214,19 @@ class StyleUNetSR(nn.Module):
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
 
+        style_mlp = StyleMLP(self.style_dim, self.style_dim, self.n_mlp,
+                             self.lr_mlp, name="style")
         if not input_is_latent:
-            styles = [self.style_forward(s) for s in styles]
+            styles = [style_mlp(s) for s in styles]
 
         if len(styles) < 2:
             latent = jnp.tile(styles[0][:, None, :], (1, self.n_latent, 1))
         else:
+            # inject_index may be a traced array (style mixing under jit)
             idx = self.n_latent // 2 if inject_index is None else inject_index
-            latent = jnp.concatenate([
-                jnp.tile(styles[0][:, None, :], (1, idx, 1)),
-                jnp.tile(styles[1][:, None, :], (1, self.n_latent - idx, 1)),
-            ], axis=1)
+            pos = jnp.arange(self.n_latent)[None, :, None]
+            latent = jnp.where(pos < idx, styles[0][:, None, :],
+                               styles[1][:, None, :])
 
         # ---- U-Net encoder (model/styleUnet.py:1238-1253, 1379-1388)
         enc_stages = list(range(int(math.log2(self.inp_size)) - 2,

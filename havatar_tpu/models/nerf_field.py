@@ -47,7 +47,9 @@ class DoublePlaneNeRFField(nn.Module):
     plane_middle_size: int = 16
     sh_deg: int = 0
     hidden: int = 128
-    feat_dim: int = 64             # fc_rgbFeat width (model/nerf_model.py:50)
+    # fc_rgbFeat width: the feature-image channel count fed to the SR net
+    # (model/nerf_model.py:50 hardcodes 64; configurable here)
+    feat_dim: int = 64
 
     def setup(self):
         self.XY_gen = PlaneGenerator(

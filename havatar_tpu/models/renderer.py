@@ -48,6 +48,7 @@ class AvatarRenderer(nn.Module):
     plane_res: int = 128
     cond_res: int = 256
     plane_middle_size: int = 16
+    feat_dim: int = 64
     render_size: int = 128
     skin_vol_res: int = 64
 
@@ -61,6 +62,7 @@ class AvatarRenderer(nn.Module):
             plane_res=self.plane_res,
             cond_res=self.cond_res,
             plane_middle_size=self.plane_middle_size,
+            feat_dim=self.feat_dim,
         )
         # skinning volume bounds: XYZ bounds with Y_lo = 0.3 * Y_hi
         # (spec: model/nerf_trainer.py:29-33)
@@ -106,11 +108,31 @@ class AvatarRenderer(nn.Module):
         rng: Optional[jax.Array] = None,
         fixed_volume: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
-        B, R = ray_batch.shape[:2]
+        B = ray_batch.shape[0]
         cond_c = inv_head_T.reshape(B, -1)
         planes = self.field.generate_planes(
             latent_code, cond_c, front_cond, left_cond, right_cond)
+        return self.render_rays(
+            planes, ray_batch, background_prior, inv_head_T,
+            num_coarse=num_coarse, num_fine=num_fine, perturb=perturb,
+            radiance_field_noise_std=radiance_field_noise_std, rng=rng,
+            fixed_volume=fixed_volume)
 
+    def render_rays(
+        self,
+        planes: jnp.ndarray,
+        ray_batch: jnp.ndarray,
+        background_prior: jnp.ndarray,
+        inv_head_T: jnp.ndarray,
+        *,
+        num_coarse: int = 64,
+        num_fine: int = 16,
+        perturb: bool = True,
+        radiance_field_noise_std: float = 0.0,
+        rng: Optional[jax.Array] = None,
+        fixed_volume: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, Any]:
+        B, R = ray_batch.shape[:2]
         ro, rd = ray_batch[..., 0:3], ray_batch[..., 3:6]
         near, far = ray_batch[..., 6:7], ray_batch[..., 7:8]
         viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
@@ -175,6 +197,58 @@ class AvatarRenderer(nn.Module):
             out["weights_max"] = jnp.max(weights_f, axis=-1).reshape(B, R, 1)
 
         return out
+
+    def render_chunked(
+        self,
+        ray_batch: jnp.ndarray,
+        background_prior: jnp.ndarray,
+        latent_code: jnp.ndarray,
+        inv_head_T: jnp.ndarray,
+        front_cond: jnp.ndarray,
+        left_cond: jnp.ndarray,
+        right_cond: jnp.ndarray,
+        *,
+        chunk_size: int = 16384,
+        num_coarse: int = 64,
+        num_fine: int = 16,
+        perturb: bool = False,
+        radiance_field_noise_std: float = 0.0,
+        rng: Optional[jax.Array] = None,
+        fixed_volume: Optional[jnp.ndarray] = None,
+    ) -> Dict[str, Any]:
+        """Memory-bounded full-frame rendering: planes are generated once,
+        then the ray axis is processed in device-side chunks via `lax.map`
+        (the TPU replacement for the reference's host-side chunk loop,
+        train_avatar.py:203-224 — no host round trips, one compiled program).
+        Requires R % chunk_size == 0 (pad on the host if needed)."""
+        B, R = ray_batch.shape[:2]
+        assert R % chunk_size == 0, (R, chunk_size)
+        n_chunks = R // chunk_size
+        cond_c = inv_head_T.reshape(B, -1)
+        planes = self.field.generate_planes(
+            latent_code, cond_c, front_cond, left_cond, right_cond)
+
+        rays_c = ray_batch.reshape(B, n_chunks, chunk_size, -1).transpose(1, 0, 2, 3)
+        bg_c = background_prior.reshape(B, n_chunks, chunk_size, -1).transpose(1, 0, 2, 3)
+        idx = jnp.arange(n_chunks)
+
+        def one(args):
+            rays, bg, i = args
+            crng = jax.random.fold_in(rng, i) if rng is not None else None
+            return self.render_rays(
+                planes, rays, bg, inv_head_T,
+                num_coarse=num_coarse, num_fine=num_fine, perturb=perturb,
+                radiance_field_noise_std=radiance_field_noise_std,
+                rng=crng, fixed_volume=fixed_volume)
+
+        outs = jax.lax.map(one, (rays_c, bg_c, idx))
+        merged = {}
+        for k, v in outs.items():
+            if v is None:
+                merged[k] = None
+            else:
+                merged[k] = v.transpose(1, 0, 2, 3).reshape(B, R, v.shape[-1])
+        return merged
 
     def render_full_image(self, *args, **kwargs):
         """Stage-2/inference mode: rays cover a full render_size² image.
