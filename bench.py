@@ -27,8 +27,8 @@ def main() -> None:
     from __graft_entry__ import _build_flagship
 
     forward, example_args = _build_flagship()
-    (nerf_vars, sr_params, rays, bg, latent, inv_T, front, left, right,
-     style) = example_args
+    (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, front, left,
+     right, style) = example_args
 
     # Per-frame varying inputs (conditions + head pose), pre-staged on device.
     # The frame loop runs INSIDE one jitted program (lax.map over frames) so
@@ -42,16 +42,16 @@ def main() -> None:
     lefts = jax.random.uniform(k2, (n_frames,) + left.shape)
     rights = jax.random.uniform(k3, (n_frames,) + right.shape)
 
-    def run_all(nerf_vars, sr_params, rays, bg, latent, inv_T, style,
-                fronts, lefts, rights):
+    def run_all(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
+                style, fronts, lefts, rights):
         def one(c):
             f, l, r = c
-            return forward(nerf_vars, sr_params, rays, bg, latent, inv_T,
-                           f, l, r, style)
+            return forward(nerf_vars, sr_params, skin_vol, rays, bg, latent,
+                           inv_T, f, l, r, style)
         return jax.lax.map(one, (fronts, lefts, rights))
 
     fn = jax.jit(run_all)
-    args = (nerf_vars, sr_params, rays, bg, latent, inv_T, style,
+    args = (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, style,
             fronts, lefts, rights)
     out = fn(*args)          # compile + warm up
     jax.block_until_ready(out)

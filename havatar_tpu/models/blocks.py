@@ -90,10 +90,10 @@ class EqualConv2d(nn.Module):
             (self.kernel_size, self.kernel_size, in_ch, self.out_channel),
         )
         scale = 1.0 / math.sqrt(in_ch * self.kernel_size**2)
-        out = _conv2d(x, w * scale, self.stride, self.padding)
+        out = _conv2d(x, (w * scale).astype(x.dtype), self.stride, self.padding)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channel,))
-            out = out + b
+            out = out + b.astype(out.dtype)
         return out
 
 
@@ -122,11 +122,12 @@ class EqualLinear(nn.Module):
             b = self.param(
                 "bias", nn.initializers.constant(self.bias_init), (self.out_dim,)
             )
-        out = x @ (w * scale)
+        out = x @ (w * scale).astype(x.dtype)
         if self.activation == "fused_lrelu":
-            out = fused_leaky_relu(out, b * self.lr_mul if b is not None else None)
+            out = fused_leaky_relu(
+                out, (b * self.lr_mul).astype(out.dtype) if b is not None else None)
         elif b is not None:
-            out = out + b * self.lr_mul
+            out = out + (b * self.lr_mul).astype(out.dtype)
         return out
 
 
@@ -159,15 +160,18 @@ class ModulatedConv2d(nn.Module):
 
         if self.demodulate:
             # demod[b, o] = rsqrt(sum_{khw,i} (scale*w*style[b,i])^2 + eps)
-            w2 = jnp.sum(jnp.square(w * scale), axis=(0, 1))  # [in, out]
-            sigma = jnp.einsum("bi,io->bo", jnp.square(style), w2)
+            # (accumulated in f32 regardless of compute dtype)
+            w2 = jnp.sum(jnp.square((w * scale).astype(jnp.float32)), axis=(0, 1))
+            sigma = jnp.einsum("bi,io->bo",
+                               jnp.square(style.astype(jnp.float32)), w2)
             demod = lax.rsqrt(sigma + 1e-8)
 
-        x = x * style[:, None, None, :]
+        x = x * style.astype(x.dtype)[:, None, None, :]
 
+        w_c = (w * scale).astype(x.dtype)
         kernel = make_kernel(self.blur_kernel)
         if self.upsample:
-            out = _conv_transpose2d(x, w * scale, stride=2)
+            out = _conv_transpose2d(x, w_c, stride=2)
             factor = 2
             p = (len(self.blur_kernel) - factor) - (k - 1)
             pad0 = (p + 1) // 2 + factor - 1
@@ -179,12 +183,12 @@ class ModulatedConv2d(nn.Module):
             pad0 = (p + 1) // 2
             pad1 = p // 2
             x = blur(x, kernel, pad=(pad0, pad1))
-            out = _conv2d(x, w * scale, stride=2, padding=0)
+            out = _conv2d(x, w_c, stride=2, padding=0)
         else:
-            out = _conv2d(x, w * scale, stride=1, padding=k // 2)
+            out = _conv2d(x, w_c, stride=1, padding=k // 2)
 
         if self.demodulate:
-            out = out * demod[:, None, None, :]
+            out = out * demod.astype(out.dtype)[:, None, None, :]
         return out
 
 
@@ -198,7 +202,7 @@ class NoiseInjection(nn.Module):
             if rng is None:
                 return x  # zero-noise mode: weight * 0 contributes nothing
             noise = jax.random.normal(rng, (x.shape[0], x.shape[1], x.shape[2], 1), x.dtype)
-        return x + w * noise
+        return x + w.astype(x.dtype) * noise.astype(x.dtype)
 
 
 class ConstantInput(nn.Module):
@@ -244,7 +248,7 @@ class ConvLayer(nn.Module):
         if self.activate:
             if self.use_bias:
                 b = self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
-                x = fused_leaky_relu(x, b)
+                x = fused_leaky_relu(x, b.astype(x.dtype))
             else:
                 x = fused_leaky_relu(x, None)
         return x
@@ -306,7 +310,7 @@ class StyledConv(nn.Module):
         )(x, style)
         x = NoiseInjection(name="noise")(x, noise=noise, rng=rng)
         b = self.param("act_bias", nn.initializers.zeros, (self.out_channel,))
-        return fused_leaky_relu(x, b)
+        return fused_leaky_relu(x, b.astype(x.dtype))
 
 
 class ToRGB(nn.Module):
@@ -325,7 +329,7 @@ class ToRGB(nn.Module):
             self.in_channel, self.out_channel, 1, demodulate=False, name="conv",
         )(x, style)
         b = self.param("bias", nn.initializers.zeros, (1, 1, 1, self.out_channel))
-        out = out + b
+        out = out + b.astype(out.dtype)
         if skip is not None:
             kernel = make_kernel(self.blur_kernel)
             if self.use_wt:

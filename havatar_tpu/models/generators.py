@@ -88,6 +88,7 @@ class PlaneGenerator(nn.Module):
     lr_mlp: float = 0.01
     zero_noise: bool = True
     no_skip: bool = True
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
 
     @property
     def log_size(self) -> int:
@@ -105,6 +106,9 @@ class PlaneGenerator(nn.Module):
     def __call__(self, styles, cond_img, noise_rng: Optional[jax.Array] = None):
         ch = channel_map(self.channel_multiplier)
         B = cond_img.shape[0]
+        cdt = jnp.dtype(self.compute_dtype)
+        styles = styles.astype(cdt)
+        cond_img = cond_img.astype(cdt)
 
         w = StyleMLP(self.style_dim, self.mlp_dim, self.n_mlp,
                      self.lr_mlp, name="style")(styles)
@@ -133,7 +137,7 @@ class PlaneGenerator(nn.Module):
         num_layers = num_up * 2 + 1
 
         out = ConstantInput(ch[self.middle_size], size=self.middle_size,
-                            name="input")(B)
+                            name="input")(B).astype(cdt)
         rngs = (
             list(jax.random.split(noise_rng, num_layers))
             if (noise_rng is not None and not self.zero_noise) else [None] * num_layers
@@ -166,8 +170,8 @@ class PlaneGenerator(nn.Module):
             in_channel = out_channel
 
         if self.no_skip:
-            return ConvLayer(self.out_ch, 1, name="conv_out")(out)
-        return skip
+            return ConvLayer(self.out_ch, 1, name="conv_out")(out).astype(jnp.float32)
+        return skip.astype(jnp.float32)
 
 
 class StyleUNetSR(nn.Module):
@@ -187,6 +191,7 @@ class StyleUNetSR(nn.Module):
     middle_size: int = 8
     channel_multiplier: int = 2
     lr_mlp: float = 0.01
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
 
     @property
     def log_size(self) -> int:
@@ -211,8 +216,11 @@ class StyleUNetSR(nn.Module):
     ):
         ch = channel_map(self.channel_multiplier)
         B = cond_img.shape[0]
+        cdt = jnp.dtype(self.compute_dtype)
+        cond_img = cond_img.astype(cdt)
         if not isinstance(styles, (list, tuple)):
             styles = [styles]
+        styles = [s.astype(cdt) for s in styles]
 
         style_mlp = StyleMLP(self.style_dim, self.style_dim, self.n_mlp,
                              self.lr_mlp, name="style")
@@ -277,4 +285,4 @@ class StyleUNetSR(nn.Module):
             i += 2
             in_channel = out_channel
 
-        return inverse_haar_transform(skip)
+        return inverse_haar_transform(skip.astype(jnp.float32))

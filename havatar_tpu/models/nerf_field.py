@@ -47,27 +47,32 @@ class DoublePlaneNeRFField(nn.Module):
     plane_middle_size: int = 16
     sh_deg: int = 0
     hidden: int = 128
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
     # fc_rgbFeat width: the feature-image channel count fed to the SR net
     # (model/nerf_model.py:50 hardcodes 64; configurable here)
     feat_dim: int = 64
 
     def setup(self):
+        cdt = jnp.dtype(self.compute_dtype)
         self.XY_gen = PlaneGenerator(
             out_ch=self.plane_feat_dim, out_size=self.plane_res,
             style_dim=self.latent_code_dim, middle_size=self.plane_middle_size,
             inp_size=self.cond_res, inp_ch=7, n_mlp=4,
+            compute_dtype=self.compute_dtype,
         )
         self.YZ_gen = PlaneGenerator(
             out_ch=self.plane_feat_dim, out_size=self.plane_res,
             style_dim=self.latent_code_dim, middle_size=self.plane_middle_size,
             inp_size=self.cond_res, inp_ch=13, n_mlp=4,
+            compute_dtype=self.compute_dtype,
         )
         self.gridwarper = BoxWarp.from_bounds(self.xyz_bounding)
-        self.layer0 = nn.Dense(self.hidden)
-        self.layer1 = nn.Dense(self.hidden)
-        self.fc_alpha = nn.Dense(1)
-        self.fc_rgbFeat = nn.Dense(self.feat_dim)
-        self.fc_rgb = nn.Dense(self.rgb_feat_dim * (self.sh_deg + 1) ** 2)
+        self.layer0 = nn.Dense(self.hidden, dtype=cdt)
+        self.layer1 = nn.Dense(self.hidden, dtype=cdt)
+        self.fc_alpha = nn.Dense(1, dtype=cdt)
+        self.fc_rgbFeat = nn.Dense(self.feat_dim, dtype=cdt)
+        self.fc_rgb = nn.Dense(self.rgb_feat_dim * (self.sh_deg + 1) ** 2,
+                               dtype=cdt)
 
     def generate_planes(
         self,
@@ -102,15 +107,17 @@ class DoublePlaneNeRFField(nn.Module):
         planes: jnp.ndarray,         # [2, B, R, R, C]
     ) -> jnp.ndarray:
         """-> radiance field [B, N, rgb + feat + 1]."""
+        cdt = jnp.dtype(self.compute_dtype)
         pts_feat = self.sample_plane_features(pts, planes)
         xyz_emb = positional_encoding(pts, self.num_encoding_fn_xyz,
                                       include_input=False)
-        x = jnp.concatenate([pts_feat, xyz_emb], axis=-1)
+        x = jnp.concatenate([pts_feat.astype(cdt), xyz_emb.astype(cdt)], axis=-1)
         x = jax.nn.relu(self.layer0(x))
         x = jax.nn.relu(self.layer1(x))
-        alpha = self.fc_alpha(x)
+        alpha = self.fc_alpha(x).astype(jnp.float32)
         feat = self.fc_rgbFeat(x)
-        sh = self.fc_rgb(feat)
+        sh = self.fc_rgb(feat).astype(jnp.float32)
+        feat = feat.astype(jnp.float32)
         if self.sh_deg == 0:
             rgb = sh
         else:

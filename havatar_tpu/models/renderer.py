@@ -51,6 +51,7 @@ class AvatarRenderer(nn.Module):
     feat_dim: int = 64
     render_size: int = 128
     skin_vol_res: int = 64
+    compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
 
     def setup(self):
         field_latent_dim = self.latent_code_dim + (12 if self.cond_pose else 0)
@@ -63,6 +64,7 @@ class AvatarRenderer(nn.Module):
             cond_res=self.cond_res,
             plane_middle_size=self.plane_middle_size,
             feat_dim=self.feat_dim,
+            compute_dtype=self.compute_dtype,
         )
         # skinning volume bounds: XYZ bounds with Y_lo = 0.3 * Y_hi
         # (spec: model/nerf_trainer.py:29-33)
@@ -77,15 +79,17 @@ class AvatarRenderer(nn.Module):
     def skin_volume(self):
         return self.skinning.volume()
 
-    def _field_eval(self, pts, viewdirs, inv_head_T, planes, fixed_volume):
+    def _field_eval(self, pts, viewdirs, inv_head_T, planes, skin_vol):
         """Skin [B, R, S, 3] points into canonical space and evaluate the
-        field. Returns radiance [B, R, S, C+1]."""
+        field. Returns radiance [B, R, S, C+1]. ``skin_vol`` is the decoded
+        canonical weight volume (decoded ONCE per frame — the 3D conv decode
+        must not run per ray pass)."""
         B, R, S = pts.shape[:3]
         flat_pts = pts.reshape(B, R * S, 3)
         flat_dirs = jnp.broadcast_to(viewdirs[:, :, None, :], pts.shape)
         flat_dirs = flat_dirs.reshape(B, R * S, 3)
         can_pts, can_dirs = self.skinning(flat_pts, flat_dirs, inv_head_T,
-                                          fixed_volume=fixed_volume)
+                                          fixed_volume=skin_vol)
         radiance = self.field(can_pts, can_dirs, planes)
         return radiance.reshape(B, R, S, -1)
 
@@ -133,6 +137,10 @@ class AvatarRenderer(nn.Module):
         fixed_volume: Optional[jnp.ndarray] = None,
     ) -> Dict[str, Any]:
         B, R = ray_batch.shape[:2]
+        # decode the canonical skinning volume ONCE per frame; the 3D-conv
+        # decoder must not re-run in the coarse AND fine passes
+        skin_vol = (self.skinning.volume() if fixed_volume is None
+                    else fixed_volume)
         ro, rd = ray_batch[..., 0:3], ray_batch[..., 3:6]
         near, far = ray_batch[..., 6:7], ray_batch[..., 7:8]
         viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
@@ -153,7 +161,7 @@ class AvatarRenderer(nn.Module):
             z_vals = lower + (upper - lower) * t_rand
 
         pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
-        radiance = self._field_eval(pts, viewdirs, inv_head_T, planes, fixed_volume)
+        radiance = self._field_eval(pts, viewdirs, inv_head_T, planes, skin_vol)
 
         flat = lambda a: a.reshape((B * R,) + a.shape[2:])
         rgb_c, disp_c, acc_c, weights, depth_c = volume_render_radiance_field(
@@ -184,7 +192,7 @@ class AvatarRenderer(nn.Module):
 
             pts_f = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
             radiance_f = self._field_eval(pts_f, viewdirs, inv_head_T, planes,
-                                          fixed_volume)
+                                          skin_vol)
             rgb_f, disp_f, acc_f, weights_f, depth_f = volume_render_radiance_field(
                 flat(radiance_f), flat(z_all), flat(rd),
                 radiance_field_noise_std=radiance_field_noise_std,
@@ -227,6 +235,8 @@ class AvatarRenderer(nn.Module):
         cond_c = inv_head_T.reshape(B, -1)
         planes = self.field.generate_planes(
             latent_code, cond_c, front_cond, left_cond, right_cond)
+        skin_vol = (self.skinning.volume() if fixed_volume is None
+                    else fixed_volume)
 
         rays_c = ray_batch.reshape(B, n_chunks, chunk_size, -1).transpose(1, 0, 2, 3)
         bg_c = background_prior.reshape(B, n_chunks, chunk_size, -1).transpose(1, 0, 2, 3)
@@ -239,7 +249,7 @@ class AvatarRenderer(nn.Module):
                 planes, rays, bg, inv_head_T,
                 num_coarse=num_coarse, num_fine=num_fine, perturb=perturb,
                 radiance_field_noise_std=radiance_field_noise_std,
-                rng=crng, fixed_volume=fixed_volume)
+                rng=crng, fixed_volume=skin_vol)
 
         outs = jax.lax.map(one, (rays_c, bg_c, idx))
         merged = {}

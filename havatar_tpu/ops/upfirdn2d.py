@@ -95,7 +95,6 @@ def upfirdn2d(
         rhs_dilation=(1, 1),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=num_ch,
-        precision=lax.Precision.HIGHEST,
     )
     return out
 

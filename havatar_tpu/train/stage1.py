@@ -50,6 +50,7 @@ def build_renderer(cfg) -> AvatarRenderer:
         plane_middle_size=coarse.get("plane_middle_size", 16),
         skin_vol_res=coarse.get("skin_vol_res", 64),
         feat_dim=cfg.models.StyleUnet.inp_ch,
+        compute_dtype=cfg.models.get("compute_dtype", "float32"),
         render_size=cfg.models.StyleUnet.inp_size,
         cond_res=cfg.dataset.cond_render_res,
     )
