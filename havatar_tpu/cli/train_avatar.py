@@ -30,6 +30,9 @@ def main() -> None:
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--config", type=str, default="singleview_512_base.yml")
     p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--lpips-weights", type=str, default="lpips_vgg.npz",
+                   help="converted LPIPS-VGG weights (.npz); perceptual loss "
+                        "terms activate when the file exists")
     p.add_argument("--max-iters", type=int, default=0,
                    help="override cfg.experiment.train_iters (for smoke runs)")
     p.add_argument("--pretrain-iters", type=int, default=3000,
@@ -76,7 +79,13 @@ def main() -> None:
         state = state._replace(params=new_params)
         print(f"skinning pretrain done, final BCE {float(hist[-1]):.4f}")
 
-    train_step = stage1.make_train_step(model, cfg)
+    from havatar_tpu.train.lpips_jax import load_lpips_file
+
+    lpips_params = load_lpips_file(args.lpips_weights)
+    if cfg.experiment.get("patch_rgb", False) and lpips_params is None:
+        print("note: patch_rgb is on but no LPIPS weights found at "
+              f"{args.lpips_weights}; the patch perceptual term is disabled")
+    train_step = stage1.make_train_step(model, cfg, lpips_params=lpips_params)
 
     # validation set: full images at native resolution
     # (spec: train_avatar.py:63-66,182-300)

@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--datadir", type=str, required=True)
     p.add_argument("--config", type=str, default="singleview_512_HD_base.yml")
     p.add_argument("--ckpt", type=str, default="")
+    p.add_argument("--lpips-weights", type=str, default="lpips_vgg.npz",
+                   help="converted LPIPS-VGG weights (.npz); perceptual loss "
+                        "terms activate when the file exists")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--max-iters", type=int, default=0)
     args = p.parse_args()
@@ -101,8 +104,11 @@ def main() -> None:
             if restored is not None:
                 state = stage2.Stage2State(**restored)
 
+    from havatar_tpu.train.lpips_jax import load_lpips_file
+
+    lpips_params = load_lpips_file(args.lpips_weights)
     d_step, r1_step, g_step = stage2.make_steps(
-        cfg, renderer, generator, discriminator)
+        cfg, renderer, generator, discriminator, lpips_params=lpips_params)
 
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
                                  save_interval_steps=cfg.experiment.save_every)

@@ -169,9 +169,11 @@ class PlaneGenerator(nn.Module):
             i += 2
             in_channel = out_channel
 
+        # planes stay in the compute dtype: the consumer (triplane sampling)
+        # is gather-bandwidth-bound, so bf16 planes halve its HBM traffic
         if self.no_skip:
-            return ConvLayer(self.out_ch, 1, name="conv_out")(out).astype(jnp.float32)
-        return skip.astype(jnp.float32)
+            return ConvLayer(self.out_ch, 1, name="conv_out")(out)
+        return skip
 
 
 class StyleUNetSR(nn.Module):

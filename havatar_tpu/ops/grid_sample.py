@@ -6,11 +6,22 @@ torch ``F.grid_sample(..., align_corners=True)`` as used by
 ``sample_from_2dgrid`` (utils/util.py:395-406) and ``voxel_feature``
 (utils/util.py:409-418).
 
-TPU design: gather-based. Feature maps live NHWC ([B, H, W, C] /
-[B, D, H, W, C]); corner fetches are flat one-hot-free `take`s over the
-spatial axes, which XLA lowers to dynamic-gathers. ``zeros`` padding is a
-per-corner validity mask (multiply, not branch). Everything is shape-static
-and differentiable w.r.t. both features and coordinates.
+TPU design (measured on v5e): XLA gathers are only fast when each fetched
+slice is a single contiguous run of >= ~64 lanes. Multi-dim (2,2[,2],C)
+corner-block gathers lower ~40x slower; per-corner SCALAR gathers (C=1)
+lower ~100x slower. So:
+
+* 2D: four per-corner row fetches from the [H*W, C] flattening (C=64 lanes
+  for the feature planes);
+* 3D: four (z,y)-row fetches from the [D*H, W*C] flattening — the full x-run
+  rides the lanes — and the x-axis interpolation becomes a 2-sparse one-hot
+  dot over W on the VPU. This turns the skinning volume's scalar samples
+  into 64-lane fetches (~30x faster than the naive form).
+
+Per-axis weights are computed against the *unclamped* floor index so a
+fetched row automatically gets weight 0 when it is not the true corner —
+exact `zeros` semantics (out-of-bounds corners contribute 0) and exact
+`border` semantics (coordinates pre-clamped) with no branches.
 
 Coordinate convention (torch-compatible): coords in [-1, 1];
 coords[..., 0]=x indexes W, coords[..., 1]=y indexes H, coords[..., 2]=z
@@ -21,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -28,22 +40,24 @@ def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
     return (coord + 1.0) * 0.5 * (size - 1)
 
 
-def _corner_weights(pix: jnp.ndarray, size: int, padding_mode: str):
-    """Returns (idx0, idx1, w1, valid0, valid1) along one axis."""
-    if padding_mode == "border":
-        pix = jnp.clip(pix, 0.0, size - 1)
-    idx0f = jnp.floor(pix)
-    w1 = pix - idx0f
-    idx0 = idx0f.astype(jnp.int32)
-    idx1 = idx0 + 1
-    if padding_mode == "zeros":
-        valid0 = (idx0 >= 0) & (idx0 <= size - 1)
-        valid1 = (idx1 >= 0) & (idx1 <= size - 1)
-    else:
-        valid0 = valid1 = None
-    idx0 = jnp.clip(idx0, 0, size - 1)
-    idx1 = jnp.clip(idx1, 0, size - 1)
-    return idx0, idx1, w1, valid0, valid1
+def _axis_weights(pix: jnp.ndarray, size: int):
+    """Block start + per-row weights along one axis.
+
+    The gathered block covers absolute rows (start, start+1) with
+    start = clip(floor(pix), 0, size-2). Row r's weight is nonzero only when
+    its absolute index equals floor(pix) (weight 1-frac) or floor(pix)+1
+    (weight frac) — out-of-bounds corners therefore contribute 0 exactly.
+    """
+    fl = jnp.floor(pix)
+    frac = pix - fl
+    start = jnp.clip(fl, 0, size - 2).astype(jnp.int32)
+    a0 = start.astype(pix.dtype)
+    w0 = (jnp.where(a0 == fl, 1.0 - frac, 0.0)
+          + jnp.where(a0 == fl + 1.0, frac, 0.0))
+    a1 = a0 + 1.0
+    w1 = (jnp.where(a1 == fl, 1.0 - frac, 0.0)
+          + jnp.where(a1 == fl + 1.0, frac, 0.0))
+    return start, w0, w1
 
 
 def grid_sample_2d(
@@ -58,38 +72,27 @@ def grid_sample_2d(
     """
     assert padding_mode in ("zeros", "border")
     B, H, W, C = feat.shape
-    x = _unnormalize(coords[..., 0], W)
-    y = _unnormalize(coords[..., 1], H)
 
-    x0, x1, wx, vx0, vx1 = _corner_weights(x, W, padding_mode)
-    y0, y1, wy, vy0, vy1 = _corner_weights(y, H, padding_mode)
+    def one(feat_hwc, coords_n2):
+        x = _unnormalize(coords_n2[:, 0], W)
+        y = _unnormalize(coords_n2[:, 1], H)
+        if padding_mode == "border":
+            x = jnp.clip(x, 0.0, W - 1)
+            y = jnp.clip(y, 0.0, H - 1)
+        x0, wx0, wx1 = _axis_weights(x, W)
+        y0, wy0, wy1 = _axis_weights(y, H)
+        flat = feat_hwc.reshape(H * W, C)
+        acc = None
+        for yi, wy in ((y0, wy0), (y0 + 1, wy1)):
+            for xi, wx in ((x0, wx0), (x0 + 1, wx1)):
+                corner = jnp.take(flat, yi * W + xi, axis=0)
+                term = corner.astype(wy.dtype) * (wy * wx)[:, None]
+                acc = term if acc is None else acc + term
+        return acc.astype(feat_hwc.dtype)
 
-    flat = feat.reshape(B, H * W, C)
-
-    def fetch(yi, xi):
-        return jnp.take_along_axis(flat, (yi * W + xi)[..., None], axis=1)
-
-    f00 = fetch(y0, x0)
-    f01 = fetch(y0, x1)
-    f10 = fetch(y1, x0)
-    f11 = fetch(y1, x1)
-
-    w00 = (1 - wy) * (1 - wx)
-    w01 = (1 - wy) * wx
-    w10 = wy * (1 - wx)
-    w11 = wy * wx
-    if padding_mode == "zeros":
-        w00 = w00 * (vy0 & vx0)
-        w01 = w01 * (vy0 & vx1)
-        w10 = w10 * (vy1 & vx0)
-        w11 = w11 * (vy1 & vx1)
-
-    return (
-        f00 * w00[..., None]
-        + f01 * w01[..., None]
-        + f10 * w10[..., None]
-        + f11 * w11[..., None]
-    )
+    # static python loop over the (small) batch: vmap would produce a
+    # batched gather, which lowers ~4x slower on TPU
+    return jnp.stack([one(feat[b], coords[b]) for b in range(B)], 0)
 
 
 def grid_sample_3d(
@@ -105,28 +108,39 @@ def grid_sample_3d(
     """
     assert padding_mode in ("zeros", "border")
     B, D, H, W, C = vol.shape
-    x = _unnormalize(coords[..., 0], W)
-    y = _unnormalize(coords[..., 1], H)
-    z = _unnormalize(coords[..., 2], D)
 
-    x0, x1, wx, vx0, vx1 = _corner_weights(x, W, padding_mode)
-    y0, y1, wy, vy0, vy1 = _corner_weights(y, H, padding_mode)
-    z0, z1, wz, vz0, vz1 = _corner_weights(z, D, padding_mode)
+    def one(vol_dhwc, coords_n3):
+        x = _unnormalize(coords_n3[:, 0], W)
+        y = _unnormalize(coords_n3[:, 1], H)
+        z = _unnormalize(coords_n3[:, 2], D)
+        if padding_mode == "border":
+            x = jnp.clip(x, 0.0, W - 1)
+            y = jnp.clip(y, 0.0, H - 1)
+            z = jnp.clip(z, 0.0, D - 1)
+        x0, wx0, wx1 = _axis_weights(x, W)
+        y0, wy0, wy1 = _axis_weights(y, H)
+        z0, wz0, wz1 = _axis_weights(z, D)
 
-    flat = vol.reshape(B, D * H * W, C)
+        # the skinning volume has C=1, so per-corner gathers would be
+        # scalar-class (≈100x slow). Fetch full x-ROWS instead (W*C lanes)
+        # and interpolate x with a 2-sparse one-hot dot on the VPU:
+        # 4 wide row fetches per point instead of 8 scalar fetches.
+        xi = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+        wx_vec = (jnp.where(xi == x0[:, None], wx0[:, None], 0.0)
+                  + jnp.where(xi == (x0 + 1)[:, None], wx1[:, None], 0.0))
 
-    def fetch(zi, yi, xi):
-        return jnp.take_along_axis(flat, ((zi * H + yi) * W + xi)[..., None], axis=1)
+        rows_all = vol_dhwc.reshape(D * H, W * C)
+        acc = None
+        for zi, wz in ((z0, wz0), (z0 + 1, wz1)):
+            for yi, wy in ((y0, wy0), (y0 + 1, wy1)):
+                row = jnp.take(rows_all, zi * H + yi, axis=0)  # [N, W*C]
+                row = row.reshape(-1, W, C).astype(wz.dtype)
+                val = jnp.einsum("nwc,nw->nc", row, wx_vec)
+                term = val * (wz * wy)[:, None]
+                acc = term if acc is None else acc + term
+        return acc.astype(vol_dhwc.dtype)
 
-    out = jnp.zeros((B, coords.shape[1], C), dtype=vol.dtype)
-    for zi, vz, cz in ((z0, vz0, 1 - wz), (z1, vz1, wz)):
-        for yi, vy, cy in ((y0, vy0, 1 - wy), (y1, vy1, wy)):
-            for xi, vx, cx in ((x0, vx0, 1 - wx), (x1, vx1, wx)):
-                w = cz * cy * cx
-                if padding_mode == "zeros":
-                    w = w * (vz & vy & vx)
-                out = out + fetch(zi, yi, xi) * w[..., None]
-    return out
+    return jnp.stack([one(vol[b], coords[b]) for b in range(B)], 0)
 
 
 def sample_from_triplane(

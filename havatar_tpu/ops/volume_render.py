@@ -110,18 +110,29 @@ def sample_pdf(
             rng, cdf.shape[:-1] + (num_samples,), weights.dtype
         ) * (s - 1e-6)
 
-    # searchsorted(side='right') batched over rays.
-    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(
-        cdf.reshape(-1, cdf.shape[-1]), u.reshape(-1, num_samples)
-    ).reshape(u.shape)
+    # searchsorted(side='right') as a branchless comparison-sum — [R, K, S]
+    # comparisons on the VPU beat a vmapped binary search on TPU, and the
+    # below/above fetches become one-hot contractions instead of batched
+    # gathers (which lower ~10x slower).
+    K = cdf.shape[-1]
+    cmp = (u[..., None, :] >= cdf[..., :, None])          # [R, K, S]
+    inds = jnp.sum(cmp.astype(jnp.int32), axis=-2)
 
     below = jnp.maximum(0, inds - 1)
-    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+    above = jnp.minimum(K - 1, inds)
 
-    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_below = jnp.take_along_axis(bins, jnp.minimum(below, bins.shape[-1] - 1), axis=-1)
-    bins_above = jnp.take_along_axis(bins, jnp.minimum(above, bins.shape[-1] - 1), axis=-1)
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1), 1)
+    oh_below = (iota_k == below[..., None, :]).astype(cdf.dtype)  # [R, K, S]
+    oh_above = (iota_k == above[..., None, :]).astype(cdf.dtype)
+
+    def sel(vals, oh):
+        return jnp.einsum("...k,...ks->...s", vals, oh)
+
+    cdf_below = sel(cdf, oh_below)
+    cdf_above = sel(cdf, oh_above)
+    # bins and cdf have the same length K (cdf = [0, cumsum(pdf)])
+    bins_below = sel(bins, oh_below)
+    bins_above = sel(bins, oh_above)
 
     denom = cdf_above - cdf_below
     denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)

@@ -13,6 +13,7 @@ perceptual term (the trainers do this automatically).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -86,6 +87,21 @@ def lpips(params: Dict[str, Any], img0: jnp.ndarray, img1: jnp.ndarray) -> jnp.n
 def lpips_loss(params, img0_01: jnp.ndarray, img1_01: jnp.ndarray) -> jnp.ndarray:
     """[0,1]-ranged NHWC images (spec: train_avatar.py:24-29 scales by 2x-1)."""
     return lpips(params, img0_01 * 2.0 - 1.0, img1_01 * 2.0 - 1.0)
+
+
+def save_lpips_file(params: Dict[str, Any], path: str) -> None:
+    np.savez(path, params=np.asarray(
+        jax.tree_util.tree_map(lambda x: np.asarray(x), params),
+        dtype=object))
+
+
+def load_lpips_file(path: str) -> Optional[Dict[str, Any]]:
+    """Load converted LPIPS weights (.npz written by save_lpips_file), or
+    None if the file is absent — callers gate the perceptual term on this."""
+    if not path or not os.path.exists(path):
+        return None
+    data = np.load(path, allow_pickle=True)
+    return jax.tree_util.tree_map(jnp.asarray, data["params"].item())
 
 
 def convert_torch_lpips(vgg_state_dict, lin_state_dict) -> Dict[str, Any]:
