@@ -14,6 +14,7 @@ from havatar_tpu.ops.grid_sample import (
     grid_sample_2d,
     grid_sample_3d,
     sample_from_triplane,
+    sample_image_features,
 )
 from havatar_tpu.ops.boxwarp import BoxWarp, BoxWarpLegacy, get_box_warp_param
 from havatar_tpu.ops.embedding import positional_encoding, posenc_dim
@@ -28,4 +29,6 @@ from havatar_tpu.ops.rays import (
     get_rays_np,
     intrinsics_to_K,
     make_ray_importance_sampling_map,
+    perspective_project,
+    project_multiview,
 )

@@ -169,3 +169,19 @@ def sample_from_triplane(
         for p, ax in enumerate(axes)
     ]
     return jnp.stack(feats, axis=-1)
+
+
+def sample_image_features(
+    xy: jnp.ndarray,
+    features: jnp.ndarray,
+    padding_mode: str = "border",
+) -> jnp.ndarray:
+    """Multi-view image feature lookup: [B, V, N, 2] normalized coords x
+    [B, V, H, W, C] feature maps -> [B, V, N, C]
+    (spec: ``img_feature``, reference utils/util.py:345-356)."""
+    B, V = xy.shape[:2]
+    out = [
+        grid_sample_2d(features[:, v], xy[:, v], padding_mode)
+        for v in range(V)
+    ]
+    return jnp.stack(out, axis=1)

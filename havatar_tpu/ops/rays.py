@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,3 +72,38 @@ def make_ray_importance_sampling_map(mask: np.ndarray, p: float = 0.9) -> np.nda
     probs = np.full(mask.shape, 1.0 - p, dtype=np.float32)
     probs[mask > 0] = p
     return probs / probs.sum()
+
+
+def perspective_project(pts: jnp.ndarray, extr: jnp.ndarray, K: jnp.ndarray,
+                        normalize: bool = False, width: int = 0,
+                        height: int = 0) -> jnp.ndarray:
+    """Project [N, 3] world points through a [4, 4] extrinsic and [3, 3] K.
+
+    Spec: ``perspective_projection`` (reference utils/util.py:298-322,
+    mode='real'): cam = pts @ R^T + t; pix = (cam @ K^T); divide by z; with
+    ``normalize`` map to [-1, 1] using the align_corners=True convention
+    (x / (W-1) * 2 - 1) for grid sampling.
+    """
+    R, t = extr[:3, :3], extr[:3, 3]
+    cam = pts @ R.T + t
+    proj = cam @ K.T
+    xy = proj[..., :2] / proj[..., 2:3]
+    if normalize:
+        scale = jnp.asarray([2.0 / (width - 1), 2.0 / (height - 1)],
+                            dtype=xy.dtype)
+        xy = xy * scale - 1.0
+    return jnp.concatenate([xy, proj[..., 2:3]], axis=-1)
+
+
+def project_multiview(pts: jnp.ndarray, extrs: jnp.ndarray,
+                      intrs: jnp.ndarray, img_w: int, img_h: int) -> jnp.ndarray:
+    """[B, N, 3] points x [B, V, 4, 4] extr x [B, V, 3, 3] K ->
+    [B, V, N, 3] normalized projections (spec: utils/util.py:325-341,
+    vectorized instead of the reference's double python loop)."""
+    def per_view(p, e, k):
+        return perspective_project(p, e, k, normalize=True,
+                                   width=img_w, height=img_h)
+
+    return jax.vmap(  # over batch
+        jax.vmap(per_view, in_axes=(None, 0, 0))  # over views
+    )(pts, extrs, intrs)
