@@ -21,6 +21,7 @@ from havatar_tpu.data import AvatarDataset, Loader, infinite
 from havatar_tpu.train import stage1
 from havatar_tpu.train.losses import mse2psnr
 from havatar_tpu.utils.logging_util import MetricsWriter, create_code_snapshot, timestamp
+from havatar_tpu.utils.preemption import install as install_preemption, should_stop
 from havatar_tpu.utils.profiling import StepTimer
 
 
@@ -39,6 +40,7 @@ def main() -> None:
                    help="skinning-volume pretrain iterations (0 to skip)")
     args = p.parse_args()
 
+    install_preemption()
     cfg = resolve_config(args.config)
     rng = seed_everything(cfg.experiment.randomseed)
 
@@ -145,6 +147,11 @@ def main() -> None:
         if i > start_step and i % cfg.experiment.validate_every == 0:
             run_validation(i)
         ckpt_mgr.save(i, state._asdict())
+        if should_stop():
+            # preemption: force a final checkpoint and exit cleanly
+            ckpt_mgr.save(i, state._asdict(), force=True)
+            print(f"preempted at iter {i}; checkpoint saved", flush=True)
+            break
 
     ckpt_mgr.wait()
     print("Done!")

@@ -20,6 +20,7 @@ from havatar_tpu.cli.common import resolve_config, seed_everything, to_device_ba
 from havatar_tpu.data import AvatarDataset, Loader, infinite
 from havatar_tpu.train import stage2
 from havatar_tpu.utils.logging_util import MetricsWriter, timestamp
+from havatar_tpu.utils.preemption import install as install_preemption, should_stop
 from havatar_tpu.utils.profiling import StepTimer
 
 
@@ -47,6 +48,7 @@ def main() -> None:
     p.add_argument("--max-iters", type=int, default=0)
     args = p.parse_args()
 
+    install_preemption()
     cfg = resolve_config(args.config)
     rng = seed_everything(cfg.experiment.randomseed)
     render_size = cfg.models.StyleUnet.inp_size
@@ -135,6 +137,10 @@ def main() -> None:
             for k, v in {**d_metrics, **g_metrics}.items():
                 writer.scalar(f"train/{k}", float(v), i)
         ckpt_mgr.save(i, state._asdict())
+        if should_stop():
+            ckpt_mgr.save(i, state._asdict(), force=True)
+            print(f"preempted at iter {i}; checkpoint saved", flush=True)
+            break
 
     ckpt_mgr.wait()
     print("Done!")

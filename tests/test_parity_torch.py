@@ -106,7 +106,6 @@ def test_volume_decoder_parity():
     tol(got, want, atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.slow
 def test_full_renderer_parity():
     """End-to-end: reference Trainer (full default architecture) vs
     AvatarRenderer on a handful of rays, deterministic sampling."""

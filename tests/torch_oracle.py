@@ -125,6 +125,17 @@ def install():
     model_pkg.__path__ = [f"{REFERENCE_ROOT}/model"]
     sys.modules.setdefault("model", model_pkg)
     sys.modules["model.op"] = op_mod
+
+    # utils/training_util.py imports torchvision (only used for image
+    # casting in the training loops, not by the model forward) — stub it
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        tv.transforms.ToPILImage = object
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+        sys.modules["torchvision.utils"] = tv.utils
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
 
