@@ -1,0 +1,66 @@
+"""Multi-chip serving: the reenactment frame pipeline sharded over a mesh.
+
+The per-frame compute splits naturally (SURVEY.md §2.6):
+  * plane generation + SR are per-frame image networks — tiny (≈7 ms
+    combined) — replicated (or frame-batched) across chips;
+  * the ray march (≈85% of frame time) is embarrassingly parallel over rays —
+    the RAY axis shards across the ``data`` mesh axis, each chip marches its
+    ray shard against replicated planes, and the only collective is the final
+    all-gather of the 128² feature image over ICI (≈4 MB).
+
+This is the TPU-native replacement for the reference's serial 4096-ray
+chunking, scaled across a v5e-8: 8x the march throughput per frame.
+Validated on virtual CPU meshes by tests/test_serving_mesh.py and the
+driver's dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from havatar_tpu.models.renderer import AvatarRenderer
+
+
+def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
+                          num_coarse: int = 64, num_fine: int = 16):
+    """Build a jitted frame function whose ray axis is sharded over
+    ``mesh['data']``.
+
+    Returns fn(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
+               front, left, right, style) -> 512² RGB (or the feature render
+    when ``sr`` is None). Inputs: ``rays``/``bg`` should be placed with
+    ray_sharding(mesh); everything else replicated. GSPMD propagates the ray
+    sharding through the march and inserts the gather before the SR convs.
+    """
+    ray_sh = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+
+    def frame_fn(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
+                 front, left, right, style):
+        rays = jax.lax.with_sharding_constraint(rays, ray_sh)
+        bg = jax.lax.with_sharding_constraint(bg, ray_sh)
+        render, mask = renderer.apply(
+            nerf_vars, rays, bg, latent, inv_T, front, left, right,
+            num_coarse=num_coarse, num_fine=num_fine, perturb=False,
+            fixed_volume=skin_vol,
+            method=AvatarRenderer.render_full_image)
+        if sr is None:
+            return render
+        render = jax.lax.with_sharding_constraint(render, rep)
+        return sr.apply({"params": sr_params}, [style], render[..., 3:])
+
+    return jax.jit(frame_fn)
+
+
+def place_frame_inputs(mesh: Mesh, rays, bg, *replicated):
+    """Device-put helper: rays/bg ray-sharded, the rest replicated."""
+    ray_sh = NamedSharding(mesh, P(None, "data"))
+    rep = NamedSharding(mesh, P())
+    rays = jax.device_put(rays, ray_sh)
+    bg = jax.device_put(bg, ray_sh)
+    rest = tuple(jax.device_put(x, rep) for x in replicated)
+    return (rays, bg) + rest

@@ -1,0 +1,60 @@
+"""Multi-chip serving path on the 8-device virtual CPU mesh: the ray-sharded
+frame function must produce identical output to single-device rendering."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from havatar_tpu.infer.serving import make_sharded_frame_fn, place_frame_inputs
+from havatar_tpu.models import AvatarRenderer, StyleUNetSR
+from havatar_tpu.models.renderer import AvatarRenderer as AR
+from havatar_tpu.parallel import make_mesh
+
+
+def test_ray_sharded_frame_matches_single_device():
+    assert jax.device_count() >= 8
+    mesh = make_mesh(("data",))
+
+    renderer = AvatarRenderer(latent_code_dim=8, plane_feat_dim=16,
+                              plane_res=16, cond_res=32, plane_middle_size=4,
+                              feat_dim=16, render_size=8, skin_vol_res=8)
+    sr = StyleUNetSR(inp_size=8, inp_ch=16, out_ch=3, out_size=32,
+                     style_dim=16, n_mlp=2, middle_size=4,
+                     channel_multiplier=1)
+
+    B, R = 1, 64
+    rays = jnp.concatenate([
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 3.0),
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), -1.0),
+        jnp.full((B, R, 1), 1.4), jnp.full((B, R, 1), 4.0)], -1)
+    bg = jnp.ones((B, R, 3))
+    latent = jnp.zeros((B, 8))
+    inv_T = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((1, 3))], 0), (B, 4, 3))
+    conds = [jnp.full((B, 32, 32, 7), 0.4)] * 3
+    style = jnp.zeros((B, 16))
+
+    rng = jax.random.PRNGKey(0)
+    nerf_vars = renderer.init(rng, rays, bg, latent, inv_T, *conds,
+                              num_coarse=4, num_fine=2, perturb=False)
+    sr_vars = sr.init(rng, style, jnp.zeros((B, 8, 8, 16)))
+    skin_vol = renderer.apply(nerf_vars, method=AR.skin_volume)
+
+    # single device
+    render, _ = renderer.apply(nerf_vars, rays, bg, latent, inv_T, *conds,
+                               num_coarse=4, num_fine=2, perturb=False,
+                               fixed_volume=skin_vol,
+                               method=AR.render_full_image)
+    want = sr.apply({"params": sr_vars["params"]}, [style], render[..., 3:])
+
+    # sharded over 8 devices
+    fn = make_sharded_frame_fn(mesh, renderer, sr, num_coarse=4, num_fine=2)
+    rays_s, bg_s, *rest = place_frame_inputs(
+        mesh, rays, bg, nerf_vars, sr_vars["params"], skin_vol, latent,
+        inv_T, *conds, style)
+    nerf_v, sr_p, vol, lat, iT, f, l, r, st = rest
+    got = fn(nerf_v, sr_p, vol, rays_s, bg_s, lat, iT, f, l, r, st)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
