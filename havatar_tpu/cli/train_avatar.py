@@ -146,6 +146,13 @@ def main() -> None:
                 writer.scalar(f"train/{k}", float(v), i)
         if i > start_step and i % cfg.experiment.validate_every == 0:
             run_validation(i)
+        if i > start_step and i % cfg.experiment.save_every == 0:
+            # skinning weight-volume debug dump (spec: train_avatar.py:311)
+            from havatar_tpu.utils.obj_io import visualize_skin_volume
+
+            visualize_skin_volume(
+                model, state.params, state.buffers,
+                os.path.join(args.logdir, f"vis_motionWeightVol{i:05d}.obj"))
         ckpt_mgr.save(i, state._asdict())
         if should_stop():
             # preemption: force a final checkpoint and exit cleanly

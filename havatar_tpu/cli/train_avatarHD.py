@@ -115,6 +115,43 @@ def main() -> None:
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
                                  save_interval_steps=cfg.experiment.save_every)
 
+    sample_dir = os.path.join(args.logdir, "sample")
+    os.makedirs(sample_dir, exist_ok=True)
+
+    def save_sample_grid(step, batch):
+        """g_ema sample next to the low-res render and GT
+        (spec: train_avatarHD.py:332-345)."""
+        import cv2
+
+        rng_s = jax.random.PRNGKey(cfg.experiment.randomseed + step)
+        render, _, _ = stage2_render_full(state, batch, rng_s)
+        style = jnp.zeros((render.shape[0], cfg.gan.latent))
+        sample = generator.apply({"params": state.g_ema_params}, [style],
+                                 render[..., 3:])
+        lr_up = jnp.repeat(jnp.repeat(
+            render[..., :3], gen_size // render_size, 1),
+            gen_size // render_size, 2)
+        grid = jnp.concatenate([sample, lr_up, batch["gt_hr_img"]], axis=2)
+        grid = np.asarray(jnp.clip(grid, 0, 1) * 255).astype(np.uint8)
+        grid = grid.reshape(-1, grid.shape[2], 3)
+        cv2.imwrite(os.path.join(sample_dir, f"{step:06d}.png"),
+                    cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
+
+    def stage2_render_full(st, batch, rng_s):
+        from havatar_tpu.models.renderer import AvatarRenderer as AR
+
+        rays = batch["mv_rays"]
+        latent = st.latent_codes[batch["dataset_idx"]]
+        render, mask = renderer.apply(
+            {"params": st.nerf_params, "buffers": st.nerf_buffers},
+            rays[..., :8], rays[..., 8:11], latent, batch["inv_head_T"],
+            batch["front_render_cond"], batch["left_render_cond"],
+            batch["right_render_cond"],
+            num_coarse=cfg.nerf.validation.num_coarse,
+            num_fine=cfg.nerf.validation.num_fine, perturb=False,
+            method=AR.render_full_image)
+        return render, mask, None
+
     max_iters = args.max_iters or cfg.gan.iter
     timer = StepTimer()
     data_iter = infinite(loader)
@@ -136,6 +173,8 @@ def main() -> None:
                   f"s/iter {timer.mean:.3f}", flush=True)
             for k, v in {**d_metrics, **g_metrics}.items():
                 writer.scalar(f"train/{k}", float(v), i)
+        if i > start and i % cfg.experiment.validate_every == 0:
+            save_sample_grid(i, batch)
         ckpt_mgr.save(i, state._asdict())
         if should_stop():
             ckpt_mgr.save(i, state._asdict(), force=True)
