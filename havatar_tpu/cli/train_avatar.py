@@ -17,7 +17,7 @@ import numpy as np
 
 from havatar_tpu.checkpoints import CheckpointManager
 from havatar_tpu.cli.common import resolve_config, seed_everything, to_device_batch
-from havatar_tpu.data import AvatarDataset, Loader, infinite
+from havatar_tpu.data import AvatarDataset, Loader, device_prefetch, infinite
 from havatar_tpu.train import stage1
 from havatar_tpu.train.losses import mse2psnr
 from havatar_tpu.utils.logging_util import MetricsWriter, create_code_snapshot, timestamp
@@ -130,9 +130,11 @@ def main() -> None:
 
     max_iters = args.max_iters or cfg.experiment.train_iters
     timer = StepTimer()
-    data_iter = infinite(train_loader)
+    keep = {"mv_rays", "gt_color", "inv_head_T", "dataset_idx",
+            "front_render_cond", "left_render_cond", "right_render_cond"}
+    data_iter = device_prefetch(infinite(train_loader), size=2, keys=keep)
     for i in range(start_step, max_iters):
-        batch = to_device_batch(next(data_iter))
+        batch = next(data_iter)
         rng, step_rng = jax.random.split(rng)
         timer.start()
         state, metrics = train_step(state, batch, step_rng)

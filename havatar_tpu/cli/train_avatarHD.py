@@ -17,7 +17,7 @@ import numpy as np
 
 from havatar_tpu.checkpoints import CheckpointManager, convert
 from havatar_tpu.cli.common import resolve_config, seed_everything, to_device_batch
-from havatar_tpu.data import AvatarDataset, Loader, infinite
+from havatar_tpu.data import AvatarDataset, Loader, device_prefetch, infinite
 from havatar_tpu.train import stage2
 from havatar_tpu.utils.logging_util import MetricsWriter, timestamp
 from havatar_tpu.utils.preemption import install as install_preemption, should_stop
@@ -154,11 +154,15 @@ def main() -> None:
 
     max_iters = args.max_iters or cfg.gan.iter
     timer = StepTimer()
-    data_iter = infinite(loader)
+    keep = {"mv_rays", "gt_color", "gt_hr_img", "gt_lr_mask", "inv_head_T",
+            "dataset_idx", "front_render_cond", "left_render_cond",
+            "right_render_cond"}
+    data_iter = device_prefetch(
+        (prepare_batch(b, gen_size, render_size) for b in infinite(loader)),
+        size=2, keys=keep)
     start = int(state.step)
     for i in range(start, max_iters):
-        batch = to_device_batch(
-            prepare_batch(next(data_iter), gen_size, render_size))
+        batch = next(data_iter)
         rng, rd, rg = jax.random.split(rng, 3)
         timer.start()
         state, d_metrics = d_step(state, batch, rd)

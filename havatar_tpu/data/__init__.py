@@ -7,3 +7,4 @@ from havatar_tpu.data.dataset import (
     inv_head_transform,
     load_render_cond,
 )
+from havatar_tpu.data.prefetch import device_prefetch
