@@ -121,6 +121,13 @@ def main() -> None:
                           else out["acc_coarse"])[0]).reshape(H, W)
         psnr = float(mse2psnr(np.mean((rgb - target) ** 2)))
         writer.scalar("validation/psnr", psnr, step)
+        if lpips_params is not None:
+            # validation LPIPS (spec: train_avatar.py:237,263)
+            from havatar_tpu.train.lpips_jax import lpips_loss
+
+            val_lpips = float(lpips_loss(
+                lpips_params, jnp.asarray(rgb)[None], jnp.asarray(target)[None]))
+            writer.scalar("validation/lpips", val_lpips, step)
         writer.image("validation/rgb_fine", np.clip(rgb, 0, 1), step)
         writer.image("validation/img_target", np.clip(target, 0, 1), step)
         writer.image("validation/acc_fine", np.clip(acc, 0, 1)[..., None], step)
