@@ -12,6 +12,7 @@ from havatar_tpu.train import stage1
 from tests.test_train_steps import tiny_batch, tiny_cfg
 
 
+@pytest.mark.slow
 def test_stage1_state_roundtrip(tmp_path):
     cfg = tiny_cfg()
     rng = jax.random.PRNGKey(0)

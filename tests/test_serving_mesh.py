@@ -12,6 +12,10 @@ from havatar_tpu.models.renderer import AvatarRenderer as AR
 from havatar_tpu.parallel import make_mesh
 
 
+import pytest
+
+
+@pytest.mark.slow
 def test_ray_sharded_frame_matches_single_device():
     assert jax.device_count() >= 8
     mesh = make_mesh(("data",))

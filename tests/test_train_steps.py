@@ -104,6 +104,7 @@ def test_stage1_pretrain_skinning_reduces_bce():
     assert float(hist[-1]) < float(hist[0])
 
 
+@pytest.mark.slow
 def test_stage2_steps_run_and_update():
     from havatar_tpu.train import stage2
 
