@@ -180,21 +180,40 @@ class AvatarRenderer(nn.Module):
         }
 
         if num_fine > 0:
-            # ---- hierarchical pass (spec: model/nerf_trainer.py:165-193)
+            # ---- hierarchical pass (spec: model/nerf_trainer.py:165-193).
+            # The reference re-evaluates the field at ALL merged depths
+            # (every-2nd coarse + the PDF samples). The field is a
+            # deterministic function of the point (sigma noise is applied
+            # inside the volume renderer, not the field), so the coarse
+            # radiance at the reused depths is bit-identical — reuse it and
+            # evaluate only the num_fine NEW samples: 2/3 fewer field evals
+            # in this pass, exact to the reference semantics.
             zf = flat(z_vals)
             z_mid = 0.5 * (zf[..., 1:] + zf[..., :-1])
             z_samples = sample_pdf(z_mid, weights[..., 1:-1], num_fine,
                                    det=not perturb, rng=rng_pdf)
             z_samples = jax.lax.stop_gradient(z_samples)
-            z_all = jnp.sort(
-                jnp.concatenate([zf[:, ::2], z_samples], axis=-1), axis=-1)
-            z_all = z_all.reshape(B, R, -1)
 
-            pts_f = ro[..., None, :] + rd[..., None, :] * z_all[..., :, None]
-            radiance_f = self._field_eval(pts_f, viewdirs, inv_head_T, planes,
-                                          skin_vol)
+            z_keep = zf[:, ::2]
+            rad_keep = flat(radiance)[:, ::2]
+            z_cat = jnp.concatenate([z_keep, z_samples], axis=-1)
+            perm = jnp.argsort(z_cat, axis=-1)
+            z_all = jnp.take_along_axis(z_cat, perm, axis=-1)
+
+            z_new = z_samples.reshape(B, R, num_fine)
+            pts_new = ro[..., None, :] + rd[..., None, :] * z_new[..., :, None]
+            rad_new = self._field_eval(pts_new, viewdirs, inv_head_T, planes,
+                                       skin_vol)
+            rad_cat = jnp.concatenate([rad_keep, flat(rad_new)], axis=1)
+            # reorder samples by depth with a one-hot contraction (batched
+            # take_along_axis gathers lower poorly on TPU)
+            S_all = z_cat.shape[-1]
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_all), 2)
+            onehot = (perm[:, :, None] == iota_s).astype(rad_cat.dtype)
+            radiance_f = jnp.einsum("rsk,rkc->rsc", onehot, rad_cat)
+
             rgb_f, disp_f, acc_f, weights_f, depth_f = volume_render_radiance_field(
-                flat(radiance_f), flat(z_all), flat(rd),
+                radiance_f, z_all, flat(rd),
                 radiance_field_noise_std=radiance_field_noise_std,
                 background_prior=flat(background_prior),
                 noise_rng=rng_noise_f,
