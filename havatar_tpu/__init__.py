@@ -20,3 +20,6 @@ Layering (mirrors the reference's logical layers, reference/SURVEY.md §1):
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["models", "ops", "data", "train", "infer", "parallel",
+           "checkpoints", "preprocess", "utils"]

@@ -76,16 +76,6 @@ def make_optimizers(cfg):
     return nerf_opt, g_opt, d_opt
 
 
-def _mixed_styles(rng: jax.Array, batch: int, latent_dim: int, mixing: float):
-    """Host-free style mixing: always two z's + a traced inject index; a
-    bernoulli picks between mixing (random index) and no-mixing (index =
-    n_latent, i.e. second z unused) — matching mixing_noise
-    (utils/styleUnet_util.py:113-116) in distribution."""
-    k1, k2, k3, k4 = jax.random.split(rng, 4)
-    z = jax.random.normal(k1, (2, batch, latent_dim))
-    return z[0], z[1], k3, k4
-
-
 def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
                discriminator: WaveletDiscriminator,
                lpips_params: Optional[Any] = None):
