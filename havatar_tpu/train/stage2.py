@@ -170,18 +170,20 @@ def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
         gt_lr = L.downsample_bilinear(gt_hr, render_size)
         glw = L.gan_loss_weight(state.step)
         z0, z1, inject_index, knoise = sample_styles(rng_style, gt_hr.shape[0])
-        # the reference upsamples both the 128² render and the downsampled GT
-        # back to 512² before the MSE (train_avatarHD.py:246-247); comparing
-        # directly at render_size is the same objective without 16x wasted
-        # interpolation FLOPs.
-        gt_lr_small = gt_lr
+        # exact reference objective (train_avatarHD.py:202-204,246-247): both
+        # the 128² render and the down-sampled GT are bilinearly upsampled
+        # back to 512² before the MSE — a reweighted MSE whose magnitude
+        # (hence its balance against mask/adv/L1 terms) differs from
+        # comparing at 128² directly.
+        gt_lr_up = L.downsample_bilinear(gt_lr, gen_size)
 
         def loss_fn(trainable):
             nerf_params, latent_codes, g_params = trainable
             render, mask, code_loss = render_full(
                 nerf_params, state.nerf_buffers, latent_codes, batch, rng_nerf)
             lr_img = render[..., :3]
-            rgb_loss = jnp.mean(jnp.square(lr_img - gt_lr_small))
+            lr_up = L.downsample_bilinear(lr_img, gen_size)
+            rgb_loss = jnp.mean(jnp.square(lr_up - gt_lr_up))
             nerf_loss = rgb_loss + code_loss
             mask_loss = jnp.zeros(())
             if mask_weight > 0:
