@@ -46,19 +46,25 @@ def main() -> None:
                 style, fronts, lefts, rights):
         def one(c):
             f, l, r = c
-            return forward(nerf_vars, sr_params, skin_vol, rays, bg, latent,
-                           inv_T, f, l, r, style)
+            img = forward(nerf_vars, sr_params, skin_vol, rays, bg, latent,
+                          inv_T, f, l, r, style)
+            # reduce each frame to a checksum: on this environment's tunnel
+            # backend block_until_ready returns early for large device
+            # buffers, so honest timing requires a small output (measured:
+            # a 13-TFLOP chain "completed" in 0.1 ms when returning a
+            # [8192,8192] array, 683 ms when returning its scalar sum)
+            return jnp.mean(img.astype(jnp.float32))
         return jax.lax.map(one, (fronts, lefts, rights))
 
     fn = jax.jit(run_all)
     args = (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, style,
             fronts, lefts, rights)
     out = fn(*args)          # compile + warm up
-    jax.block_until_ready(out)
+    np.asarray(out)
 
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    np.asarray(out)
     dt = time.perf_counter() - t0
 
     fps = n_frames / dt
