@@ -7,19 +7,26 @@ torch ``F.grid_sample(..., align_corners=True)`` as used by
 (utils/util.py:409-418).
 
 TPU design (measured on v5e): XLA gathers are only fast when each fetched
-slice is a single contiguous run of >= ~64 lanes. Multi-dim (2,2[,2],C)
-corner-block gathers lower ~40x slower; per-corner SCALAR gathers (C=1)
-lower ~100x slower. So:
+slice is a single contiguous run of >= ~64 lanes, and the cost is per-FETCH
+(issue-rate bound), nearly independent of row width up to >= 1 KB. Multi-dim
+(2,2[,2],C) corner-block gathers lower ~40x slower; per-corner SCALAR
+gathers (C=1) lower ~100x slower. So both samplers pre-pack all bilinear
+corners of a cell into ONE contiguous row and issue a single fetch per
+sample point:
 
-* 2D: four per-corner row fetches from the [H*W, C] flattening (C=64 lanes
-  for the feature planes);
-* 3D: four (z,y)-row fetches from the [D*H, W*C] flattening — the full x-run
-  rides the lanes — and the x-axis interpolation becomes a 2-sparse one-hot
-  dot over W on the VPU. This turns the skinning volume's scalar samples
-  into 64-lane fetches (~30x faster than the naive form).
+* 2D: the operand is "quad-packed" into [(H-1)*(W-1), 4C] where row
+  (y0, x0) holds the 4 corner texels (y0|y0+1) x (x0|x0+1). One 4C-lane
+  fetch per point replaces four C-lane corner fetches.
+* 3D: packed into [(D-1)*(H-1), 4*W*C] — each row holds the 4 (z,y) corner
+  x-ROWS; the x-axis interpolation is a 2-sparse one-hot dot over W on the
+  VPU. One fetch per point replaces four.
+
+Packing is a handful of shifted slices + concat (bandwidth-trivial next to
+the gather win, and autodiff through it is exact adds), done per call —
+XLA CSEs repeated packs of the same operand within one program.
 
 Per-axis weights are computed against the *unclamped* floor index so a
-fetched row automatically gets weight 0 when it is not the true corner —
+fetched corner automatically gets weight 0 when it is not the true corner —
 exact `zeros` semantics (out-of-bounds corners contribute 0) and exact
 `border` semantics (coordinates pre-clamped) with no branches.
 
@@ -81,14 +88,18 @@ def grid_sample_2d(
             y = jnp.clip(y, 0.0, H - 1)
         x0, wx0, wx1 = _axis_weights(x, W)
         y0, wy0, wy1 = _axis_weights(y, H)
-        flat = feat_hwc.reshape(H * W, C)
-        acc = None
-        for yi, wy in ((y0, wy0), (y0 + 1, wy1)):
-            for xi, wx in ((x0, wx0), (x0 + 1, wx1)):
-                corner = jnp.take(flat, yi * W + xi, axis=0)
-                term = corner.astype(wy.dtype) * (wy * wx)[:, None]
-                acc = term if acc is None else acc + term
-        return acc.astype(feat_hwc.dtype)
+        # quad-pack: row (y0, x0) holds all 4 bilinear corners contiguously,
+        # so each point costs ONE row fetch (gathers are issue-rate bound)
+        p = feat_hwc
+        quad = jnp.stack(
+            [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2)
+        packed = quad.reshape((H - 1) * (W - 1), 4 * C)
+        row = jnp.take(packed, y0 * (W - 1) + x0, axis=0)
+        w4 = jnp.stack(
+            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+        val = jnp.einsum("nkc,nk->nc",
+                         row.reshape(-1, 4, C).astype(w4.dtype), w4)
+        return val.astype(feat_hwc.dtype)
 
     # static python loop over the (small) batch: vmap would produce a
     # batched gather, which lowers ~4x slower on TPU
@@ -122,22 +133,37 @@ def grid_sample_3d(
         z0, wz0, wz1 = _axis_weights(z, D)
 
         # the skinning volume has C=1, so per-corner gathers would be
-        # scalar-class (≈100x slow). Fetch full x-ROWS instead (W*C lanes)
-        # and interpolate x with a 2-sparse one-hot dot on the VPU:
-        # 4 wide row fetches per point instead of 8 scalar fetches.
-        xi = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
-        wx_vec = (jnp.where(xi == x0[:, None], wx0[:, None], 0.0)
-                  + jnp.where(xi == (x0 + 1)[:, None], wx1[:, None], 0.0))
+        # scalar-class (≈100x slow). The gather fast path is ~bandwidth
+        # bound, so fetch as FEW bytes as possible per point while keeping
+        # each row one contiguous >=64-value run: pack the 4 (z,y) corner
+        # x-runs of an overlapping x-TILE (width TW, stride TW/2) into one
+        # row, fetch one row per point, and interpolate x with a 2-sparse
+        # one-hot dot over the TW lanes on the VPU. For the 64³ skinning
+        # volume this is 4·16·C values/point instead of 4·64·C (4x fewer
+        # bytes than full x-rows; ~16x fewer than naive corner gathers).
+        TW = min(16, W)
+        stride = max(TW // 2, 1)
+        n_tiles = max(1, -(-(W - TW) // stride) + 1)
+        starts = [min(s * stride, W - TW) for s in range(n_tiles)]
+        k_tile = jnp.minimum(x0 // stride, n_tiles - 1)
+        x_local = x0 - jnp.minimum(k_tile * stride, W - TW)
 
-        rows_all = vol_dhwc.reshape(D * H, W * C)
-        acc = None
-        for zi, wz in ((z0, wz0), (z0 + 1, wz1)):
-            for yi, wy in ((y0, wy0), (y0 + 1, wy1)):
-                row = jnp.take(rows_all, zi * H + yi, axis=0)  # [N, W*C]
-                row = row.reshape(-1, W, C).astype(wz.dtype)
-                val = jnp.einsum("nwc,nw->nc", row, wx_vec)
-                term = val * (wz * wy)[:, None]
-                acc = term if acc is None else acc + term
+        xi = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+        wx_vec = (jnp.where(xi == x_local[:, None], wx0[:, None], 0.0)
+                  + jnp.where(xi == (x_local + 1)[:, None], wx1[:, None], 0.0))
+
+        v = vol_dhwc
+        tiles = jnp.stack([v[:, :, s: s + TW]
+                           for s in starts], axis=2)  # [D,H,T,TW,C]
+        quad = jnp.stack([tiles[:-1, :-1], tiles[:-1, 1:],
+                          tiles[1:, :-1], tiles[1:, 1:]], axis=3)
+        packed = quad.reshape((D - 1) * (H - 1) * n_tiles, 4 * TW * C)
+        row = jnp.take(packed, (z0 * (H - 1) + y0) * n_tiles + k_tile, axis=0)
+        row = row.reshape(-1, 4, TW, C).astype(wz0.dtype)
+        wzy = jnp.stack(
+            [wz0 * wy0, wz0 * wy1, wz1 * wy0, wz1 * wy1], axis=-1)
+        val = jnp.einsum("nkwc,nw->nkc", row, wx_vec)
+        acc = jnp.einsum("nkc,nk->nc", val, wzy)
         return acc.astype(vol_dhwc.dtype)
 
     return jnp.stack([one(vol[b], coords[b]) for b in range(B)], 0)

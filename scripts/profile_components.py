@@ -30,12 +30,20 @@ def timeit(fn, args, iters=10):
 
 
 def main():
+    import argparse
+
     from havatar_tpu.models import AvatarRenderer, StyleUNetSR
     from havatar_tpu.models.renderer import AvatarRenderer as AR
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype (flagship inference uses bfloat16)")
+    flags = ap.parse_args()
+
     B = 1
-    renderer = AvatarRenderer()
-    sr = StyleUNetSR()
+    renderer = AvatarRenderer(compute_dtype=flags.dtype)
+    sr = StyleUNetSR(compute_dtype=flags.dtype)
 
     R = 128 * 128
     rays = jnp.concatenate([
