@@ -96,7 +96,9 @@ class AvatarDataset:
         self.patch_rgb = bool(cfg.experiment.get("patch_rgb", False))
         self.patch_size, self.n_patches = (64, 1) if self.patch_rgb else (11, 5)
         self.cond_res = cfg.dataset.cond_render_res
-        self.mask_thresh = 127.5
+        # scalar, or a dict keyed by view_name for per-view thresholds
+        # (spec: dataloader.py:47,156)
+        self.mask_thresh = cfg.dataset.get("mask_thresh", 127.5)
 
         meta = json.loads(open(split_file).read())
         self.img_w = self.img_h = int(meta["img_res"])
@@ -189,7 +191,10 @@ class AvatarDataset:
             else:
                 if self.down_sample < 1:
                     m = _resize(m, scale=self.down_sample)
-                mask = (m[:, :, 0] > self.mask_thresh).astype(np.float32)
+                thr = (self.mask_thresh[vinfo["view_name"]]
+                       if isinstance(self.mask_thresh, dict)
+                       else self.mask_thresh)
+                mask = (m[:, :, 0] > thr).astype(np.float32)
 
         sel = self._select_pixels(mask)
         ys, xs = sel[:, 0], sel[:, 1]
@@ -206,8 +211,10 @@ class AvatarDataset:
         far = dist + self.cfg.dataset.far * self.cfg.dataset.length
         ones = np.ones((sel.shape[0], 1), dtype=np.float32)
 
+        # mask channel only in TRAIN mode (12-ch); val/test are 11-ch
+        # (spec: dataloader.py:179-180)
         parts = [ro, rd, near * ones, far * ones, rbg]
-        if mask is not None:
+        if mask is not None and self.mode == "train":
             parts.append(mask[ys, xs][:, None])
         rays = np.concatenate(parts, axis=1).astype(np.float32)
 
