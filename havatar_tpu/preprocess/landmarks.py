@@ -12,9 +12,12 @@ mediapipe) that are optional here; the fitting math only needs a
 * ``PrecomputedBackend`` — reads ``{frame}.npy`` landmark files (produced by
   any external tracker) — the zero-dependency path.
 
-A torch port of the OpenSeeFace landmark heads (the reference ships one as
-a blueprint, tracker_pytorch.py / models_pytorch/model.py:144-330) can be
-added as a third backend when its weights are available.
+* ``JaxOpenSeeFaceBackend`` — the OpenSeeFace landmark heads rebuilt in JAX
+  (preprocess/landmark_net.py, blueprint models_pytorch/model.py:144-330,
+  decode tracker.py:731-761); given a converted weights file, preprocessing
+  runs with ZERO non-JAX ML dependencies. Produces 66 (x, y) landmarks —
+  enough for the crop/presence role OpenSeeFace plays in the reference
+  (fit_video.py:534-638); pair with video.crop_params_from_landmarks.
 """
 
 from __future__ import annotations
@@ -66,6 +69,38 @@ class PrecomputedBackend(LandmarkBackend):
         return np.load(path).astype(np.float32)
 
 
+class JaxOpenSeeFaceBackend(LandmarkBackend):
+    """66-point OpenSeeFace landmark heads in JAX (landmark_net.py).
+
+    ``detect`` runs the full frame as the crop (the reference's initial
+    whole-frame detection role); returns [66, 2] (x, y) pixel landmarks or
+    None below ``conf_threshold``.
+    """
+
+    def __init__(self, weights_path: str, model_type: int = 3,
+                 conf_threshold: float = 0.2):
+        import jax
+
+        from havatar_tpu.preprocess import landmark_net as L
+
+        self._L = L
+        self.model_type = model_type
+        self.conf_threshold = conf_threshold
+        self.params = L.load_landmark_weights(weights_path, model_type)
+        self._apply = jax.jit(
+            lambda p, x: L.apply_landmark_net(p, x, model_type))
+
+    def detect(self, frame_rgb: np.ndarray) -> Optional[np.ndarray]:
+        h, w = frame_rgb.shape[:2]
+        inp = self._L.preprocess_crop(frame_rgb)
+        hm = np.asarray(self._apply(self.params, inp)[0])
+        conf, lms_yx = self._L.decode_landmarks(
+            hm, crop_info=(0.0, 0.0, w / 224.0, h / 224.0))
+        if conf < self.conf_threshold:
+            return None
+        return lms_yx[:, [1, 0]].astype(np.float32)  # (y,x,conf) -> (x,y)
+
+
 def get_backend(name: str = "auto", **kwargs) -> LandmarkBackend:
     if name in ("auto", "mediapipe"):
         try:
@@ -73,9 +108,17 @@ def get_backend(name: str = "auto", **kwargs) -> LandmarkBackend:
         except Exception:
             if name == "mediapipe":
                 raise
+    if name in ("auto", "openseeface"):
+        path = kwargs.get("lm_weights")
+        if path and os.path.exists(path):
+            return JaxOpenSeeFaceBackend(
+                path, model_type=kwargs.get("model_type", 3))
+        if name == "openseeface":
+            raise RuntimeError(f"landmark weights not found: {path}")
     if name in ("auto", "precomputed"):
         if "lms_dir" in kwargs:
             return PrecomputedBackend(kwargs["lms_dir"])
     raise RuntimeError(
-        "no landmark backend available: install mediapipe or provide "
-        "precomputed landmarks via lms_dir=")
+        "no landmark backend available: install mediapipe, provide "
+        "converted OpenSeeFace weights via lm_weights=, or precomputed "
+        "landmarks via lms_dir=")
