@@ -38,6 +38,10 @@ def main() -> None:
                    help="override cfg.experiment.train_iters (for smoke runs)")
     p.add_argument("--pretrain-iters", type=int, default=3000,
                    help="skinning-volume pretrain iterations (0 to skip)")
+    p.add_argument("--batch-size", type=int, default=2,
+                   help="frames per step (reference: 2, train_avatar.py:62); "
+                        "set a multiple of the chip count for full data "
+                        "parallelism — otherwise the RAY axis is sharded")
     args = p.parse_args()
 
     install_preemption()
@@ -55,12 +59,12 @@ def main() -> None:
     split = os.path.join(args.datadir, "sv_v31_all.json")
     train_ds = AvatarDataset(split, "train", cfg,
                              down_sample=cfg.dataset.down_sample)
-    train_loader = Loader(train_ds, batch_size=2,
+    train_loader = Loader(train_ds, batch_size=args.batch_size,
                           seed=cfg.experiment.randomseed)
 
     rng, init_rng = jax.random.split(rng)
-    example = next(iter(Loader(train_ds, batch_size=2, shuffle=False,
-                               num_workers=1)))
+    example = next(iter(Loader(train_ds, batch_size=args.batch_size,
+                               shuffle=False, num_workers=1)))
     model, state = stage1.init_state(cfg, init_rng, len(train_ds), example)
 
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
@@ -139,7 +143,24 @@ def main() -> None:
     timer = StepTimer()
     keep = {"mv_rays", "gt_color", "inv_head_T", "dataset_idx",
             "front_render_cond", "left_render_cond", "right_render_cond"}
-    data_iter = device_prefetch(infinite(train_loader), size=2, keys=keep)
+
+    # multi-chip: shard the batch over a data mesh (frame axis when it
+    # divides the chip count, else the ray axis — the TPU-native replacement
+    # for the reference's vestigial DataParallel, dist_util.py:6-133);
+    # params/opt-state replicated, gradient psums inserted by the compiler
+    shardings = None
+    if jax.device_count() > 1:
+        from havatar_tpu.parallel import auto_batch_shardings, make_mesh, replicated
+
+        mesh = make_mesh(("data",))
+        shardings = auto_batch_shardings(
+            mesh, {k: v for k, v in example.items() if k in keep})
+        state = jax.device_put(state, replicated(mesh))
+        print(f"data mesh: {mesh.devices.size} devices; sharded keys: "
+              f"{[k for k, s in shardings.items() if not s.is_fully_replicated]}")
+
+    data_iter = device_prefetch(infinite(train_loader), size=2, keys=keep,
+                                sharding=shardings)
     for i in range(start_step, max_iters):
         batch = next(data_iter)
         rng, step_rng = jax.random.split(rng)

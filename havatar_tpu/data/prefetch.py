@@ -24,7 +24,11 @@ import jax
 def device_prefetch(iterator: Iterator, size: int = 2, sharding=None,
                     keys=None) -> Iterator:
     """Wrap a host batch iterator; yields device-resident batches, staying
-    ``size`` batches ahead on a background thread."""
+    ``size`` batches ahead on a background thread.
+
+    ``sharding`` may be a single Sharding applied to every staged array, or
+    a dict key->Sharding (see parallel.auto_batch_shardings) for per-key
+    placement on a mesh."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
 
@@ -37,8 +41,9 @@ def device_prefetch(iterator: Iterator, size: int = 2, sharding=None,
                 out[k] = v
                 continue
             arr = jnp.asarray(v)
-            if sharding is not None:
-                arr = jax.device_put(arr, sharding)
+            sh = sharding.get(k) if isinstance(sharding, dict) else sharding
+            if sh is not None:
+                arr = jax.device_put(arr, sh)
             out[k] = arr
         return out
 

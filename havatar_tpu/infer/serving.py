@@ -26,7 +26,8 @@ from havatar_tpu.models.renderer import AvatarRenderer
 
 
 def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
-                          num_coarse: int = 64, num_fine: int = 16):
+                          num_coarse: int = 64, num_fine: int = 16,
+                          to_uint8: bool = False):
     """Build a jitted frame function whose ray axis is sharded over
     ``mesh['data']``.
 
@@ -51,7 +52,10 @@ def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
         if sr is None:
             return render
         render = jax.lax.with_sharding_constraint(render, rep)
-        return sr.apply({"params": sr_params}, [style], render[..., 3:])
+        img = sr.apply({"params": sr_params}, [style], render[..., 3:])
+        if to_uint8:
+            img = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint8)
+        return img
 
     return jax.jit(frame_fn)
 

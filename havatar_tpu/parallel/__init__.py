@@ -1,6 +1,7 @@
 """SPMD parallelism: mesh construction, sharding rules, collectives."""
 
 from havatar_tpu.parallel.mesh import (
+    auto_batch_shardings,
     batch_sharding,
     make_mesh,
     pad_to_multiple,

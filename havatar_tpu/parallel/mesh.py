@@ -57,6 +57,36 @@ def shard_batch(tree, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
 
+#: batch keys carrying a [B, R, ...] ray axis — safe to shard on axis 1 when
+#: the frame axis doesn't divide the mesh (conv-bearing image tensors are
+#: NOT listed: sharding their spatial axes would force halo exchanges)
+RAY_AXIS_KEYS = ("mv_rays", "gt_color")
+
+
+def auto_batch_shardings(mesh: Mesh, example: dict, axis: str = "data",
+                         ray_keys=RAY_AXIS_KEYS) -> dict:
+    """Per-key NamedShardings for a training batch.
+
+    Shards the leading (frame) axis when it divides the mesh; otherwise
+    falls back to the ray axis (axis 1) for ``ray_keys`` — the TPU-native
+    version of the reference's serial ray chunking — and replicates the
+    rest. This keeps the reference operating point (batch 2) sharded on a
+    v5e-8 while scaling to true data-parallel when batch % n_devices == 0.
+    """
+    n = int(np.prod([mesh.shape[a] for a in (axis if isinstance(axis, tuple)
+                                             else (axis,))]))
+    out = {}
+    for k, v in example.items():
+        shape = getattr(v, "shape", ())
+        if len(shape) >= 1 and shape[0] % n == 0 and shape[0] > 0:
+            out[k] = NamedSharding(mesh, P(axis))
+        elif (k in ray_keys and len(shape) >= 2 and shape[1] % n == 0):
+            out[k] = NamedSharding(mesh, P(None, axis))
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
 def pad_to_multiple(x, multiple: int, axis: int):
     """Pad an axis up to a multiple (static shapes for even sharding)."""
     size = x.shape[axis]
