@@ -46,6 +46,13 @@ def main() -> None:
                         "terms activate when the file exists")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--max-iters", type=int, default=0)
+    p.add_argument("--fast-step", action="store_true",
+                   help="fused D+G step: shares the per-iteration NeRF "
+                        "render between the D and G losses (~one render "
+                        "instead of two). Deviates from the reference's "
+                        "alternating update in two documented ways: one "
+                        "shared rng draw for both renders, and G plays "
+                        "against the pre-update D")
     args = p.parse_args()
 
     install_preemption()
@@ -109,7 +116,16 @@ def main() -> None:
     from havatar_tpu.train.lpips_jax import load_lpips_file
 
     lpips_params = load_lpips_file(args.lpips_weights)
-    d_step, r1_step, g_step = stage2.make_steps(
+    if lpips_params is None:
+        # the reference ALWAYS applies 0.1·LPIPS in the G step
+        # (train_avatarHD.py:262-266) — training without it diverges from
+        # reference behavior, so be loud about it
+        print("=" * 70 + "\nWARNING: no LPIPS weights at "
+              f"'{args.lpips_weights}' — the 0.1*LPIPS perceptual term of "
+              "the G step (reference train_avatarHD.py:262-266) is DISABLED."
+              "\nConvert them once with: python scripts/convert_lpips.py\n"
+              + "=" * 70, flush=True)
+    d_step, r1_step, g_step, dg_step = stage2.make_steps(
         cfg, renderer, generator, discriminator, lpips_params=lpips_params)
 
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
@@ -157,19 +173,43 @@ def main() -> None:
     keep = {"mv_rays", "gt_color", "gt_hr_img", "gt_lr_mask", "inv_head_T",
             "dataset_idx", "front_render_cond", "left_render_cond",
             "right_render_cond"}
+
+    # multi-chip: shard the GAN batch over a data mesh (frame axis when
+    # gan.batch % n_chips == 0 — set gan.batch accordingly for full DP —
+    # else the NeRF ray axis); replicated params, compiler-inserted psums
+    shardings = None
+    if jax.device_count() > 1:
+        from havatar_tpu.parallel import auto_batch_shardings, make_mesh, replicated
+
+        mesh = make_mesh(("data",))
+        shardings = auto_batch_shardings(
+            mesh, {k: v for k, v in example.items() if k in keep})
+        state = jax.device_put(state, replicated(mesh))
+        print(f"data mesh: {mesh.devices.size} devices; sharded keys: "
+              f"{[k for k, s in shardings.items() if not s.is_fully_replicated]}")
+
     data_iter = device_prefetch(
         (prepare_batch(b, gen_size, render_size) for b in infinite(loader)),
-        size=2, keys=keep)
+        size=2, keys=keep, sharding=shardings)
     start = int(state.step)
     for i in range(start, max_iters):
         batch = next(data_iter)
         rng, rd, rg = jax.random.split(rng, 3)
         timer.start()
-        state, d_metrics = d_step(state, batch, rd)
-        if i % cfg.gan.d_reg_every == 0:
-            state, r1_metrics = r1_step(state, batch)
-            d_metrics.update(r1_metrics)
-        state, g_metrics = g_step(state, batch, rg)
+        if args.fast_step:
+            if i % cfg.gan.d_reg_every == 0:
+                state, r1_metrics = r1_step(state, batch)
+            state, g_metrics = dg_step(state, batch, rg)
+            d_metrics = {k: g_metrics[k] for k in
+                         ("d", "real_score", "fake_score")}
+            if i % cfg.gan.d_reg_every == 0:
+                d_metrics.update(r1_metrics)
+        else:
+            state, d_metrics = d_step(state, batch, rd)
+            if i % cfg.gan.d_reg_every == 0:
+                state, r1_metrics = r1_step(state, batch)
+                d_metrics.update(r1_metrics)
+            state, g_metrics = g_step(state, batch, rg)
         if i % cfg.experiment.print_every == 0:
             timer.stop(g_metrics["psnr"])
             print(f"[HD] iter {i} PSNR {float(g_metrics['psnr']):.3f} "

@@ -225,7 +225,92 @@ def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
             nerf_opt=nerf_opt_state, g_opt=g_opt_state)
         return new_state, aux
 
-    return d_step, r1_step, g_step
+    # ---------------- fused fast step (D + G in one program) ----------------
+    # The reference renders the NeRF TWICE per iteration — no-grad for the
+    # D step (train_avatarHD.py:215) and with grads for the G step (:245).
+    # With identical params/batch the two renders differ only by the
+    # perturb/sigma-noise RNG. The fast step draws ONE rng, so XLA CSEs the
+    # whole forward render (and the fake image fed to D) between the two
+    # losses — one full render + one G(render) instead of two of each.
+    # Parity mode (the separate d_step/g_step above) remains the default.
+    @jax.jit
+    def dg_step(state: Stage2State, batch, rng):
+        rng_nerf, rng_style = jax.random.split(rng)
+        gt_hr = batch["gt_hr_img"]
+        gt_lr_mask = batch["gt_lr_mask"]
+        gt_lr = L.downsample_bilinear(gt_hr, render_size)
+        gt_lr_up = L.downsample_bilinear(gt_lr, gen_size)
+        glw = L.gan_loss_weight(state.step)
+        z0, z1, inject_index, knoise = sample_styles(rng_style, gt_hr.shape[0])
+
+        def g_loss_fn(trainable):
+            nerf_params, latent_codes, g_params = trainable
+            render, mask, code_loss = render_full(
+                nerf_params, state.nerf_buffers, latent_codes, batch, rng_nerf)
+            lr_up = L.downsample_bilinear(render[..., :3], gen_size)
+            rgb_loss = jnp.mean(jnp.square(lr_up - gt_lr_up))
+            nerf_loss = rgb_loss + code_loss
+            mask_loss = jnp.zeros(())
+            if mask_weight > 0:
+                mask_loss = L.binary_cross_entropy(mask, gt_lr_mask)
+                nerf_loss = nerf_loss + mask_weight * mask_loss
+            fake_img = gen_apply(g_params, z0, z1, inject_index,
+                                 render[..., 3:], knoise)
+            fake_pred = discriminator.apply({"params": state.d_params}, fake_img)
+            adv = L.g_nonsaturating_loss(fake_pred)
+            hr_l1 = jnp.mean(jnp.abs(fake_img - gt_hr))
+            total = nerf_loss + adv * glw + hr_l1
+            percep = jnp.zeros(())
+            if lpips_params is not None:
+                percep = lpips_loss(lpips_params, fake_img, gt_hr)
+                total = total + 0.1 * percep
+            aux = {"rgb_loss": rgb_loss, "mask_loss": mask_loss,
+                   "code_loss": code_loss, "nerf_loss": nerf_loss,
+                   "g": adv, "hr_l1": hr_l1, "percep": percep,
+                   "psnr": L.mse2psnr(rgb_loss),
+                   "SR_psnr": L.mse2psnr(
+                       jnp.mean(jnp.square(fake_img - gt_hr))),
+                   "fake_img": jax.lax.stop_gradient(fake_img)}
+            return total, aux
+
+        trainable = (state.nerf_params, state.latent_codes, state.g_params)
+        (_, aux), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(trainable)
+        fake_img = aux.pop("fake_img")
+
+        # D loss on the SAME fake image (stop-gradient) — XLA shares the
+        # forward render/generator work with the G backward above
+        def d_loss_fn(d_params):
+            fake_pred = discriminator.apply({"params": d_params}, fake_img)
+            real_pred = discriminator.apply({"params": d_params}, gt_hr)
+            d_loss = L.d_logistic_loss(real_pred, fake_pred)
+            return d_loss * glw, (d_loss, jnp.mean(real_pred),
+                                  jnp.mean(fake_pred))
+
+        (_, d_aux), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_params)
+        d_updates, d_opt_state = d_opt.update(d_grads, state.d_opt,
+                                              state.d_params)
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        nerf_updates, nerf_opt_state = nerf_opt.update(
+            (grads[0], grads[1]), state.nerf_opt,
+            (state.nerf_params, state.latent_codes))
+        nerf_params, latent_codes = optax.apply_updates(
+            (state.nerf_params, state.latent_codes), nerf_updates)
+        g_updates, g_opt_state = g_opt.update(grads[2], state.g_opt,
+                                              state.g_params)
+        g_params = optax.apply_updates(state.g_params, g_updates)
+        g_ema = ema_update(state.g_ema_params, g_params, accum)
+        aux.update({"d": d_aux[0], "real_score": d_aux[1],
+                    "fake_score": d_aux[2]})
+        new_state = state._replace(
+            step=state.step + 1,
+            nerf_params=nerf_params, latent_codes=latent_codes,
+            g_params=g_params, d_params=d_params, g_ema_params=g_ema,
+            nerf_opt=nerf_opt_state, g_opt=g_opt_state, d_opt=d_opt_state)
+        return new_state, aux
+
+    return d_step, r1_step, g_step, dg_step
 
 
 def init_state(cfg, rng: jax.Array, num_frames: int,

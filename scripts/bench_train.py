@@ -71,12 +71,12 @@ def main():
     batch = jax.device_put(batch, dev)
     step = stage1.make_train_step(model, cfg)
     state, m = step(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])   # honest sync: block_until_ready returns early
     t0 = time.perf_counter()
     N = 5
     for i in range(N):
         state, m = step(state, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(m["loss"])
+    np.asarray(m["loss"])
     res["stage1_s_per_iter"] = round((time.perf_counter() - t0) / N, 4)
 
     # ---- stage 2
@@ -90,18 +90,59 @@ def main():
     st2 = jax.device_put(st2, dev)
     batch2 = jax.device_put(batch2, dev)
     renderer, generator, discriminator = models
-    d_step, r1_step, g_step = stage2.make_steps(cfg2, renderer, generator,
+    d_step, r1_step, g_step, dg_step = stage2.make_steps(cfg2, renderer, generator,
                                                 discriminator)
+    # warm up all three compiled steps
     st2, dm = d_step(st2, batch2, jax.random.PRNGKey(3))
+    st2, rm = r1_step(st2, batch2)
     st2, gm = g_step(st2, batch2, jax.random.PRNGKey(4))
-    jax.block_until_ready(gm["psnr"])
-    t0 = time.perf_counter()
+    np.asarray(gm["psnr"])
+
+    # per-phase breakdown (VERDICT r1 item 4)
     N = 3
+
+    def timed(fn, key):
+        nonlocal st2
+        t0 = time.perf_counter()
+        for i in range(N):
+            st2, m = fn(i)
+        np.asarray(list(m.values())[0])
+        res[key] = round((time.perf_counter() - t0) / N, 4)
+
+    timed(lambda i: d_step(st2, batch2, jax.random.fold_in(rng2, i)),
+          "stage2_d_s")
+    timed(lambda i: r1_step(st2, batch2), "stage2_r1_s")
+    timed(lambda i: g_step(st2, batch2, jax.random.fold_in(rng2, 100 + i)),
+          "stage2_g_s")
+    # amortized per-iteration cost at the reference cadence (R1 every 16)
+    res["stage2_s_per_iter"] = round(
+        res["stage2_d_s"] + res["stage2_g_s"] + res["stage2_r1_s"] / 16, 4)
+
+    # fused fast step (one render shared between D and G losses)
+    st2, fm = dg_step(st2, batch2, jax.random.PRNGKey(9))
+    np.asarray(fm["psnr"])
+    timed(lambda i: dg_step(st2, batch2, jax.random.fold_in(rng2, 200 + i)),
+          "stage2_fused_dg_s")
+    res["stage2_fast_s_per_iter"] = round(
+        res["stage2_fused_dg_s"] + res["stage2_r1_s"] / 16, 4)
+
+    # bf16 compute-path variant (models.compute_dtype knob)
+    cfg2b = cfg2.clone()
+    cfg2b.models.compute_dtype = "bfloat16"
+    with jax.default_device(cpu):
+        models_b, st2b = stage2.init_state(cfg2b, rng2, num_frames=4,
+                                           example_batch=example2)
+    st2b = jax.device_put(st2b, dev)
+    d_b, r1_b, g_b, dg_b = stage2.make_steps(cfg2b, *models_b)
+    st2b, _ = d_b(st2b, batch2, jax.random.PRNGKey(5))
+    st2b, gmb = g_b(st2b, batch2, jax.random.PRNGKey(6))
+    np.asarray(gmb["psnr"])
+    t0 = time.perf_counter()
     for i in range(N):
-        st2, dm = d_step(st2, batch2, jax.random.fold_in(rng2, 2 * i))
-        st2, gm = g_step(st2, batch2, jax.random.fold_in(rng2, 2 * i + 1))
-    jax.block_until_ready(gm["psnr"])
-    res["stage2_s_per_iter"] = round((time.perf_counter() - t0) / N, 4)
+        st2b, _ = d_b(st2b, batch2, jax.random.fold_in(rng2, 50 + i))
+        st2b, gmb = g_b(st2b, batch2, jax.random.fold_in(rng2, 60 + i))
+    np.asarray(gmb["psnr"])
+    res["stage2_dg_bf16_s"] = round((time.perf_counter() - t0) / N, 4)
 
     print(json.dumps(res))
 

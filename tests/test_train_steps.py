@@ -118,7 +118,7 @@ def test_stage2_steps_run_and_update():
     models, state = stage2.init_state(cfg, rng, num_frames=2,
                                       example_batch=example)
     renderer, generator, discriminator = models
-    d_step, r1_step, g_step = stage2.make_steps(
+    d_step, r1_step, g_step, dg_step = stage2.make_steps(
         cfg, renderer, generator, discriminator)
 
     d0 = jax.tree_util.tree_leaves(state.d_params)[0].copy()
@@ -143,3 +143,15 @@ def test_stage2_steps_run_and_update():
     assert float(jnp.abs(n1 - n0).max()) > 0
     # EMA moved toward g
     assert int(state.step) == 1
+
+    # fused fast step: one program updates D, G, NeRF and EMA
+    state, fm = dg_step(state, batch, jax.random.PRNGKey(3))
+    for key in ("d", "g", "nerf_loss", "hr_l1", "real_score"):
+        assert np.isfinite(float(fm[key])), key
+    d2 = jax.tree_util.tree_leaves(state.d_params)[0]
+    g2 = jax.tree_util.tree_leaves(state.g_params)[0]
+    n2 = jax.tree_util.tree_leaves(state.nerf_params)[0]
+    assert float(jnp.abs(d2 - d1).max()) > 0
+    assert float(jnp.abs(g2 - g1).max()) > 0
+    assert float(jnp.abs(n2 - n1).max()) > 0
+    assert int(state.step) == 2
