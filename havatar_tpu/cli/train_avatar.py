@@ -137,6 +137,18 @@ def main() -> None:
         writer.image("validation/acc_fine", np.clip(acc, 0, 1)[..., None], step)
         err = np.linalg.norm(rgb - target, axis=-1, keepdims=True)
         writer.image("validation/err_img", np.clip(err, 0, 1), step)
+        # coarse + weights artifacts (spec: train_avatar.py:259-294 logs the
+        # coarse image, coarse acc and the per-ray max blend weight too)
+        rgb_c = np.asarray(out["rgb_coarse"][0, :, :3]).reshape(H, W, 3)
+        writer.image("validation/rgb_coarse", np.clip(rgb_c, 0, 1), step)
+        acc_c = np.asarray(out["acc_coarse"][0]).reshape(H, W)
+        writer.image("validation/acc_coarse",
+                     np.clip(acc_c, 0, 1)[..., None], step)
+        wmax = np.asarray(out["weights_max"][0]).reshape(H, W)
+        writer.image("validation/weights_max",
+                     np.clip(wmax, 0, 1)[..., None], step)
+        err_c = np.linalg.norm(rgb_c - target, axis=-1, keepdims=True)
+        writer.image("validation/err_img_coarse", np.clip(err_c, 0, 1), step)
         print(f"[VAL] iter {step} PSNR {psnr:.4f}", flush=True)
 
     max_iters = args.max_iters or cfg.experiment.train_iters

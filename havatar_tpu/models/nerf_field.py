@@ -48,6 +48,10 @@ class DoublePlaneNeRFField(nn.Module):
     sh_deg: int = 0
     hidden: int = 128
     compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
+    # fuse the 5-dot dense chain into one Pallas kernel (inference only —
+    # keeps activations VMEM-resident; the XLA path is ~6% MXU-utilized,
+    # activation-bandwidth bound). Identical dtype contract; same params.
+    use_pallas_mlp: bool = False
     # fc_rgbFeat width: the feature-image channel count fed to the SR net
     # (model/nerf_model.py:50 hardcodes 64; configurable here)
     feat_dim: int = 64
@@ -112,6 +116,18 @@ class DoublePlaneNeRFField(nn.Module):
         xyz_emb = positional_encoding(pts, self.num_encoding_fn_xyz,
                                       include_input=False)
         x = jnp.concatenate([pts_feat.astype(cdt), xyz_emb.astype(cdt)], axis=-1)
+        if (self.use_pallas_mlp and self.sh_deg == 0
+                and not self.is_initializing()):
+            from havatar_tpu.ops.pallas_mlp import fused_mlp_chain
+
+            field_params = {
+                name: dict(getattr(self, name).variables["params"])
+                for name in ("layer0", "layer1", "fc_alpha",
+                             "fc_rgbFeat", "fc_rgb")
+            }
+            B, N, F = x.shape
+            out = fused_mlp_chain(x.reshape(B * N, F), field_params)
+            return out.reshape(B, N, -1)
         x = jax.nn.relu(self.layer0(x))
         x = jax.nn.relu(self.layer1(x))
         alpha = self.fc_alpha(x).astype(jnp.float32)

@@ -52,6 +52,7 @@ class AvatarRenderer(nn.Module):
     render_size: int = 128
     skin_vol_res: int = 64
     compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
+    use_pallas_mlp: bool = False     # fused field MLP (inference only)
 
     def setup(self):
         field_latent_dim = self.latent_code_dim + (12 if self.cond_pose else 0)
@@ -65,6 +66,7 @@ class AvatarRenderer(nn.Module):
             plane_middle_size=self.plane_middle_size,
             feat_dim=self.feat_dim,
             compute_dtype=self.compute_dtype,
+            use_pallas_mlp=self.use_pallas_mlp,
         )
         # skinning volume bounds: XYZ bounds with Y_lo = 0.3 * Y_hi
         # (spec: model/nerf_trainer.py:29-33)
@@ -197,20 +199,36 @@ class AvatarRenderer(nn.Module):
             z_keep = zf[:, ::2]
             rad_keep = flat(radiance)[:, ::2]
             z_cat = jnp.concatenate([z_keep, z_samples], axis=-1)
-            perm = jnp.argsort(z_cat, axis=-1)
-            z_all = jnp.take_along_axis(z_cat, perm, axis=-1)
+            S_all = z_cat.shape[-1]
+            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_all), 2)
+            if perturb:
+                perm = jnp.argsort(z_cat, axis=-1)
+                # scatter ranks: ranks[k] = s  <=>  perm[s] = k
+                ranks = jnp.argsort(perm, axis=-1)
+            else:
+                # deterministic path: z_keep (strided linspace) and the det
+                # inverse-CDF samples are EACH ascending — merge ranks via
+                # comparison counts instead of an O(S log S) sort network.
+                # Tie rule (< vs <=) reproduces stable argsort of the concat.
+                a, b = z_keep, z_samples
+                nA = a.shape[-1]
+                pos_a = (jnp.arange(nA) +
+                         jnp.sum(b[:, None, :] < a[:, :, None], axis=-1))
+                pos_b = (jnp.arange(b.shape[-1]) +
+                         jnp.sum(a[:, :, None] <= b[:, None, :], axis=1))
+                ranks = jnp.concatenate([pos_a, pos_b], axis=-1)
 
             z_new = z_samples.reshape(B, R, num_fine)
             pts_new = ro[..., None, :] + rd[..., None, :] * z_new[..., :, None]
             rad_new = self._field_eval(pts_new, viewdirs, inv_head_T, planes,
                                        skin_vol)
             rad_cat = jnp.concatenate([rad_keep, flat(rad_new)], axis=1)
-            # reorder samples by depth with a one-hot contraction (batched
-            # take_along_axis gathers lower poorly on TPU)
-            S_all = z_cat.shape[-1]
-            iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_all), 2)
-            onehot = (perm[:, :, None] == iota_s).astype(rad_cat.dtype)
-            radiance_f = jnp.einsum("rsk,rkc->rsc", onehot, rad_cat)
+            # reorder samples by depth with ONE one-hot contraction shared
+            # by depths and radiance (batched take_along_axis gathers lower
+            # poorly on TPU; rank one-hots avoid materializing a perm)
+            onehot = (ranks[:, :, None] == iota_s).astype(rad_cat.dtype)
+            z_all = jnp.einsum("rks,rk->rs", onehot.astype(z_cat.dtype), z_cat)
+            radiance_f = jnp.einsum("rks,rkc->rsc", onehot, rad_cat)
 
             rgb_f, disp_f, acc_f, weights_f, depth_f = volume_render_radiance_field(
                 radiance_f, z_all, flat(rd),

@@ -39,10 +39,13 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"],
                     help="compute dtype (flagship inference uses bfloat16)")
+    ap.add_argument("--no-pallas-mlp", action="store_true",
+                    help="disable the fused Pallas field MLP")
     flags = ap.parse_args()
 
     B = 1
-    renderer = AvatarRenderer(compute_dtype=flags.dtype)
+    renderer = AvatarRenderer(compute_dtype=flags.dtype,
+                              use_pallas_mlp=not flags.no_pallas_mlp)
     sr = StyleUNetSR(compute_dtype=flags.dtype)
 
     R = 128 * 128

@@ -82,3 +82,94 @@ def test_stage2_checkpoint_file_and_inference_loader(tmp_path,
     assert latent_codes.shape == (3, 32)
     assert "field" in variables["params"]
     assert "style" in g_ema
+
+
+@pytest.mark.slow
+def test_stage2_checkpoint_file_pixel_parity(tmp_path, reference_modules):
+    """The full file->inference chain produces the reference's pixels:
+    torch latest.pt -> load_inference_weights -> make_reenact_fn vs the
+    reference Trainer->SWGAN_unet chain (avatarHD_reenactment.py:151-170),
+    asserted on the final uint8 frame."""
+    import jax.numpy as jnp
+
+    from havatar_tpu.cli.reenact import load_inference_weights
+    from havatar_tpu.infer.reenact import make_reenact_fn
+    from havatar_tpu.models.renderer import AvatarRenderer
+    from havatar_tpu.models.skinning import fix_canonical_volume
+    from havatar_tpu.train.stage1 import build_renderer
+    from havatar_tpu.models.generators import StyleUNetSR
+    from havatar_tpu.utils.cfgnode import CfgNode
+
+    trainer, g, d = reference_modules
+    path = str(tmp_path / "latest.pt")
+    torch.save({
+        "iter": 7, "nerf_optimizer": {}, "g_optim": {}, "d_optim": {},
+        "nerf_render": trainer.state_dict(),
+        "g": g.state_dict(), "d": d.state_dict(), "g_ema": g.state_dict(),
+        "latent_codes": trainer.latent_codes.data,
+    }, path)
+
+    # ---- reference inference chain (spec: avatarHD_reenactment.py:144-170)
+    R = 128 * 128
+    torch.manual_seed(3)
+    ro = torch.tensor([[0.0, 0.0, 3.0]]).expand(R, 3)
+    rd = torch.randn(R, 3) * 0.03 + torch.tensor([0.0, 0.0, -1.0])
+    rd = rd / rd.norm(dim=-1, keepdim=True)
+    rays = torch.cat([ro, rd, torch.full((R, 1), 1.4),
+                      torch.full((R, 1), 4.0)], -1).unsqueeze(0)
+    bg = torch.rand(1, R, 3)
+    front, left, right = (torch.rand(1, 7, 256, 256) for _ in range(3))
+    rot = torch.eye(3) + 0.05 * torch.randn(3, 3)
+    trans = 0.1 * torch.randn(1, 3)
+    inv_head_T = torch.cat([torch.linalg.inv(rot), -trans], 0).unsqueeze(0)
+    style = torch.randn(1, 64)
+    zero_noise = [torch.zeros(1, 1, 2 ** ((i + 8) // 2), 2 ** ((i + 8) // 2))
+                  for i in range(g.num_layers)]
+
+    trainer.headpose_skin_net.fix_canonical_W()
+    trainer.eval(), g.eval()
+    with torch.no_grad():
+        render, _, _ = trainer(
+            mode="validation", fidx=[0], render_full_img=True,
+            ray_batch=rays, background_prior=bg,
+            front_render_cond=front, left_render_cond=left,
+            right_render_cond=right, inv_head_T=inv_head_T)
+        gen_img = g(styles=[style], condition_img=render[:, 3:],
+                    noise=zero_noise)
+    want = np.clip(gen_img.permute(0, 2, 3, 1).numpy()[0] * 255,
+                   0, 255).astype(np.uint8)
+
+    # ---- our chain, from the torch FILE
+    cfg = CfgNode({
+        "experiment": {"latent_code_dim": 32, "cond_pose": True},
+        "models": {"StyleUnet": {"inp_size": 128, "inp_ch": 64,
+                                 "out_size": 512},
+                   "coarse": {"Head_bounding": [[-1.2, 1.2], [-1.6, 1.0], [-1.6, 1.2]],
+                              "XYZ_bounding": [[-1.5, 1.5], [-1.6, 1.4], [-1.6, 1.2]]}},
+        "dataset": {"cond_render_res": 256},
+        "gan": {"latent": 64, "n_mlp": 4, "channel_multiplier": 2},
+        "nerf": {"validation": {"num_coarse": 8, "num_fine": 4,
+                                "perturb": False,
+                                "radiance_field_noise_std": 0.0}},
+    })
+    variables, latent_codes, g_ema = load_inference_weights(path)
+    renderer = build_renderer(cfg)
+    generator = StyleUNetSR(inp_size=128, inp_ch=64, out_ch=3, out_size=512,
+                            style_dim=64, n_mlp=4, middle_size=8)
+    vol = renderer.apply(variables, method=AvatarRenderer.skin_volume)
+    fixed_volume = fix_canonical_volume(vol)
+    frame_fn = make_reenact_fn(cfg, renderer, generator)
+    got = frame_fn(variables, g_ema, fixed_volume,
+                   jnp.asarray(style.numpy()),
+                   jnp.asarray(rays.numpy()), jnp.asarray(bg.numpy()),
+                   jnp.asarray(latent_codes[0:1]),
+                   jnp.asarray(inv_head_T.numpy()),
+                   jnp.asarray(front.numpy().transpose(0, 2, 3, 1)),
+                   jnp.asarray(left.numpy().transpose(0, 2, 3, 1)),
+                   jnp.asarray(right.numpy().transpose(0, 2, 3, 1)))
+    got = np.asarray(got[0])
+
+    # a few LSB of uint8 tolerance (f32 accumulation-order differences)
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 4, f"max LSB diff {diff.max()}"
+    assert (diff > 1).mean() < 0.01
