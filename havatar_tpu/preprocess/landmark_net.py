@@ -232,6 +232,112 @@ def apply_landmark_net(params: Dict[str, Any], x: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Face detection net (OpenSeeFaceDetect, model.py:177-222): same backbone at
+# channel_multiplier=0.1, THREE UNetUp stages to 56², "old=1" DSConv2d heads
+# (dw -> BN -> pw -> BN -> relu6: one activation at the END), plus a 3x3
+# maxpool whose equality with the raw map implements peak NMS.
+# ---------------------------------------------------------------------------
+
+def ds_head_old1(x, p, groups_pw: int):
+    h = conv2d(x, p["dw_w"], p["dw_b"], groups=x.shape[-1])
+    return relu6(conv2d(h, p["pw_w"], p["pw_b"], groups=groups_pw))
+
+
+def unet_up_old1(x, skip, p, size: Tuple[int, int]):
+    x = upsample_align_corners(x, size)
+    return ds_head_old1(jnp.concatenate([skip, x], axis=-1), p, groups_pw=1)
+
+
+def detect_arch(size: str = "large", cm: float = 0.1):
+    table = _SMALL if size == "small" else _LARGE
+    r1_i, r2_i, r3_i = (0, 1, 2) if size == "small" else (1, 2, 4)
+    return table, cm, r1_i, r2_i, r3_i
+
+
+def apply_detection_net(params: Dict[str, Any], x: jnp.ndarray,
+                        size: str = "large", cm: float = 0.1):
+    """[B, 224, 224, 3] -> (maps [B, 56, 56, 2], maxpool [B, 56, 56, 2]).
+
+    Forward spec: OpenSeeFaceDetect._forward_impl (model.py:201-219).
+    """
+    table, cm, r1_i, r2_i, r3_i = detect_arch(size, cm)
+    h = hard_swish(conv2d(x, params["stem"]["w"], params["stem"]["b"],
+                          stride=2))
+    skips = {}
+    for si, stage in enumerate(table):
+        for bi, spec in enumerate(stage):
+            h = _block(h, params["blocks"][f"{si}_{bi}"], spec)
+        if si == r1_i:
+            skips["r1"] = h
+        if si == r2_i:
+            skips["r2"] = h
+        if si == r3_i:
+            skips["r3"] = h
+    h = unet_up_old1(h, skips["r3"], params["up1"], (14, 14))
+    h = unet_up_old1(h, skips["r2"], params["up2"], (28, 28))
+    h = unet_up_old1(h, skips["r1"], params["up3"], (56, 56))
+    h = ds_head_old1(h, params["group"], groups_pw=2)
+    mp = lax.reduce_window(h, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
+                           [(0, 0), (1, 1), (1, 1), (0, 0)])
+    return h, mp
+
+
+def decode_detections(maps: np.ndarray, maxpool: np.ndarray,
+                      frame_hw: Tuple[int, int], max_faces: int = 1,
+                      threshold: float = 0.6) -> np.ndarray:
+    """(x, y, w, h) face boxes in frame pixels
+    (spec: tracker.py:705-729)."""
+    out = np.asarray(maps).transpose(2, 0, 1).copy()    # [2, 56, 56]
+    mp = np.asarray(maxpool).transpose(2, 0, 1)
+    out[0, out[0] != mp[0]] = 0                          # peak NMS
+    order = np.flip(np.argsort(out[0].flatten()))
+    results = []
+    for det in order[:max_faces]:
+        y, x = det // 56, det % 56
+        c = out[0, y, x]
+        if c < threshold:
+            break
+        r = out[1, y, x] * 112.0
+        results.append((x * 4 - r, y * 4 - r, 2 * r, 2 * r))
+    results = np.array(results, np.float32).reshape(-1, 4)
+    if results.shape[0] > 0:
+        results[:, [0, 2]] *= frame_hw[1] / 224.0
+        results[:, [1, 3]] *= frame_hw[0] / 224.0
+    return results
+
+
+def _ds_head_old1_params(sd, prefix):
+    """DSConv2d old=1 Sequential: 0=dw conv, 1=BN, 2=pw conv, 3=BN."""
+    dw_w, dw_b = _fold_bn(np.asarray(sd[f"{prefix}.0.weight"]),
+                          _bn(sd, f"{prefix}.1"))
+    pw_w, pw_b = _fold_bn(np.asarray(sd[f"{prefix}.2.weight"]),
+                          _bn(sd, f"{prefix}.3"))
+    return {"dw_w": dw_w, "dw_b": dw_b, "pw_w": pw_w, "pw_b": pw_b}
+
+
+def convert_torch_detection_model(state_dict, size: str = "large",
+                                  cm: float = 0.1) -> Dict[str, Any]:
+    """torch-port OpenSeeFaceDetect state_dict (detection.pth,
+    tracker_pytorch.py:568) -> BN-folded pytree."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    table, cm, _, _, _ = detect_arch(size, cm)
+    params: Dict[str, Any] = {}
+    w, b = _fold_bn(sd["conv_stem.weight"], _bn(sd, "bn1"))
+    params["stem"] = {"w": w, "b": b}
+    blocks: Dict[str, Any] = {}
+    for si, stage in enumerate(table):
+        for bi, spec in enumerate(stage):
+            blocks[f"{si}_{bi}"] = _convert_block(sd, f"blocks.{si}.{bi}", spec)
+    params["blocks"] = blocks
+    params["up1"] = _ds_head_old1_params(sd, "up1.conv.conv")
+    params["up2"] = _ds_head_old1_params(sd, "up2.conv.conv")
+    params["up3"] = _ds_head_old1_params(sd, "up3.conv.conv")
+    params["group"] = _ds_head_old1_params(sd, "group.conv")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Heatmap decode (exact transcription target: tracker.py:731-761)
 # ---------------------------------------------------------------------------
 
@@ -329,6 +435,31 @@ def _ds_head_params(sd, prefix):
     return {"dw_w": dw_w, "dw_b": dw_b, "pw_w": pw_w, "pw_b": pw_b}
 
 
+def _convert_block(sd, pre: str, spec) -> Dict[str, Any]:
+    btype, _, _, _, _, has_se, _ = spec
+    p: Dict[str, Any] = {}
+    if btype == "cn":
+        p["conv_w"], p["conv_b"] = _fold_bn(
+            sd[f"{pre}.conv.weight"], _bn(sd, f"{pre}.bn1"))
+    elif btype == "ds":
+        p["dw_w"], p["dw_b"] = _fold_bn(
+            sd[f"{pre}.conv_dw.weight"], _bn(sd, f"{pre}.bn1"))
+        if has_se:
+            p["se"] = _se(sd, f"{pre}.se")
+        p["pw_w"], p["pw_b"] = _fold_bn(
+            sd[f"{pre}.conv_pw.weight"], _bn(sd, f"{pre}.bn2"))
+    else:
+        p["pw_w"], p["pw_b"] = _fold_bn(
+            sd[f"{pre}.conv_pw.weight"], _bn(sd, f"{pre}.bn1"))
+        p["dw_w"], p["dw_b"] = _fold_bn(
+            sd[f"{pre}.conv_dw.weight"], _bn(sd, f"{pre}.bn2"))
+        if has_se:
+            p["se"] = _se(sd, f"{pre}.se")
+        p["pwl_w"], p["pwl_b"] = _fold_bn(
+            sd[f"{pre}.conv_pwl.weight"], _bn(sd, f"{pre}.bn3"))
+    return p
+
+
 def convert_torch_landmark_model(state_dict, model_type: int = 3) -> Dict[str, Any]:
     """torch-port state_dict (models_pytorch layout, e.g. lm_model3.pth,
     tracker_pytorch.py:537) -> BN-folded NHWC pytree for
@@ -344,29 +475,8 @@ def convert_torch_landmark_model(state_dict, model_type: int = 3) -> Dict[str, A
     blocks: Dict[str, Any] = {}
     for si, stage in enumerate(table):
         for bi, spec in enumerate(stage):
-            btype, _, _, _, _, has_se, _ = spec
-            pre = f"blocks.{si}.{bi}"
-            p: Dict[str, Any] = {}
-            if btype == "cn":
-                p["conv_w"], p["conv_b"] = _fold_bn(
-                    sd[f"{pre}.conv.weight"], _bn(sd, f"{pre}.bn1"))
-            elif btype == "ds":
-                p["dw_w"], p["dw_b"] = _fold_bn(
-                    sd[f"{pre}.conv_dw.weight"], _bn(sd, f"{pre}.bn1"))
-                if has_se:
-                    p["se"] = _se(sd, f"{pre}.se")
-                p["pw_w"], p["pw_b"] = _fold_bn(
-                    sd[f"{pre}.conv_pw.weight"], _bn(sd, f"{pre}.bn2"))
-            else:
-                p["pw_w"], p["pw_b"] = _fold_bn(
-                    sd[f"{pre}.conv_pw.weight"], _bn(sd, f"{pre}.bn1"))
-                p["dw_w"], p["dw_b"] = _fold_bn(
-                    sd[f"{pre}.conv_dw.weight"], _bn(sd, f"{pre}.bn2"))
-                if has_se:
-                    p["se"] = _se(sd, f"{pre}.se")
-                p["pwl_w"], p["pwl_b"] = _fold_bn(
-                    sd[f"{pre}.conv_pwl.weight"], _bn(sd, f"{pre}.bn3"))
-            blocks[f"{si}_{bi}"] = p
+            blocks[f"{si}_{bi}"] = _convert_block(sd, f"blocks.{si}.{bi}",
+                                                  spec)
     params["blocks"] = blocks
     params["up1"] = _ds_head_params(sd, "up1.conv.conv")
     params["up2"] = _ds_head_params(sd, "up2.conv.conv")

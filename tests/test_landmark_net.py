@@ -214,6 +214,121 @@ def test_decode_analytic_heatmap():
     np.testing.assert_allclose(lms[:, 2], 0.9, atol=1e-6)
 
 
+def test_ds_head_old1_matches_torch():
+    """Detection-net DSConv2d old=1: dw -> BN -> pw -> BN -> relu6 (single
+    trailing activation; model.py:110-116)."""
+    torch.manual_seed(5)
+    cin, cout = 24, 16
+    conv_dw = nn.Conv2d(cin, cin * 4, 3, 1, 1, groups=cin, bias=False)
+    bn1 = rand_bn(cin * 4)
+    conv_pw = nn.Conv2d(cin * 4, cout, 1, groups=2, bias=False)
+    bn2 = rand_bn(cout)
+    x = torch.randn(1, cin, 14, 14)
+    with torch.no_grad():
+        h = bn1(conv_dw(x))             # NO activation after dw in old=1
+        want = F.relu6(bn2(conv_pw(h))).numpy().transpose(0, 2, 3, 1)
+
+    sd = {"group.conv.0.weight": conv_dw.weight.detach().numpy(),
+          "group.conv.2.weight": conv_pw.weight.detach().numpy()}
+    sd.update(bn_dict(bn1, "group.conv.1"))
+    sd.update(bn_dict(bn2, "group.conv.3"))
+    p = L._ds_head_old1_params(sd, "group.conv")
+    got = L.ds_head_old1(nhwc(x), p, groups_pw=2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_detection_decode_analytic():
+    """A single confidence peak decodes to the reference's box arithmetic
+    (tracker.py:713-729) with peak-NMS via maxpool equality."""
+    maps = np.zeros((56, 56, 2), np.float32)
+    y, x, c, r_norm = 20, 30, 0.9, 0.25
+    maps[y, x, 0] = c
+    maps[y - 1, x, 0] = 0.5       # non-peak neighbour must be NMS'd away
+    maps[y, x, 1] = r_norm
+    mp = np.zeros_like(maps)
+    # maxpool: neighbourhood max
+    for yy in range(56):
+        for xx in range(56):
+            mp[yy, xx, 0] = maps[max(0, yy - 1):yy + 2,
+                                 max(0, xx - 1):xx + 2, 0].max()
+    boxes = L.decode_detections(maps, mp, frame_hw=(448, 448), max_faces=4,
+                                threshold=0.6)
+    assert boxes.shape == (1, 4)
+    r = r_norm * 112.0
+    np.testing.assert_allclose(
+        boxes[0], [(x * 4 - r) * 2, (y * 4 - r) * 2, 2 * r * 2, 2 * r * 2],
+        rtol=1e-5)
+
+
+def test_detection_net_converter_roundtrip():
+    """Synthetic geffnet-layout OpenSeeFaceDetect state_dict (large, 0.1)
+    converts and runs to [1, 56, 56, 2] + maxpool."""
+    torch.manual_seed(6)
+    table, cm, r1_i, r2_i, r3_i = L.detect_arch("large", 0.1)
+    sd = {}
+    stem = L.round_channels(16, cm)
+    sd["conv_stem.weight"] = torch.randn(stem, 3, 3, 3).numpy() * 0.1
+    sd.update(bn_dict(rand_bn(stem), "bn1"))
+    cin = stem
+    stage_out = []
+    for si, stage in enumerate(table):
+        for bi, spec in enumerate(stage):
+            btype, k, stride, e, cch, has_se, _ = spec
+            cout = L.round_channels(cch, cm)
+            pre = f"blocks.{si}.{bi}"
+            if btype == "cn":
+                sd[f"{pre}.conv.weight"] = torch.randn(cout, cin, k, k).numpy() * 0.1
+                sd.update(bn_dict(rand_bn(cout), f"{pre}.bn1"))
+            elif btype == "ds":
+                sd[f"{pre}.conv_dw.weight"] = torch.randn(cin, 1, k, k).numpy() * 0.1
+                sd.update(bn_dict(rand_bn(cin), f"{pre}.bn1"))
+                if has_se:
+                    rd = L.make_divisible(cin * 0.25)
+                    sd[f"{pre}.se.conv_reduce.weight"] = torch.randn(rd, cin, 1, 1).numpy() * 0.1
+                    sd[f"{pre}.se.conv_reduce.bias"] = torch.randn(rd).numpy() * 0.1
+                    sd[f"{pre}.se.conv_expand.weight"] = torch.randn(cin, rd, 1, 1).numpy() * 0.1
+                    sd[f"{pre}.se.conv_expand.bias"] = torch.randn(cin).numpy() * 0.1
+                sd[f"{pre}.conv_pw.weight"] = torch.randn(cout, cin, 1, 1).numpy() * 0.1
+                sd.update(bn_dict(rand_bn(cout), f"{pre}.bn2"))
+            else:
+                mid = L.make_divisible(cin * e)
+                sd[f"{pre}.conv_pw.weight"] = torch.randn(mid, cin, 1, 1).numpy() * 0.1
+                sd.update(bn_dict(rand_bn(mid), f"{pre}.bn1"))
+                sd[f"{pre}.conv_dw.weight"] = torch.randn(mid, 1, k, k).numpy() * 0.1
+                sd.update(bn_dict(rand_bn(mid), f"{pre}.bn2"))
+                if has_se:
+                    rd = L.make_divisible(mid * 0.25)
+                    sd[f"{pre}.se.conv_reduce.weight"] = torch.randn(rd, mid, 1, 1).numpy() * 0.1
+                    sd[f"{pre}.se.conv_reduce.bias"] = torch.randn(rd).numpy() * 0.1
+                    sd[f"{pre}.se.conv_expand.weight"] = torch.randn(mid, rd, 1, 1).numpy() * 0.1
+                    sd[f"{pre}.se.conv_expand.bias"] = torch.randn(mid).numpy() * 0.1
+                sd[f"{pre}.conv_pwl.weight"] = torch.randn(cout, mid, 1, 1).numpy() * 0.1
+                sd.update(bn_dict(rand_bn(cout), f"{pre}.bn3"))
+            cin = cout
+        stage_out.append(cin)
+
+    def head_sd_old1(prefix, hin, hout, kpl=1, groups=1):
+        sd[f"{prefix}.0.weight"] = torch.randn(hin * kpl, 1, 3, 3).numpy() * 0.1
+        sd.update(bn_dict(rand_bn(hin * kpl), f"{prefix}.1"))
+        sd[f"{prefix}.2.weight"] = torch.randn(
+            hout, hin * kpl // groups, 1, 1).numpy() * 0.1
+        sd.update(bn_dict(rand_bn(hout), f"{prefix}.3"))
+
+    head_sd_old1("up1.conv.conv", cin + stage_out[r3_i], 256)
+    head_sd_old1("up2.conv.conv", 256 + stage_out[r2_i], 128)
+    head_sd_old1("up3.conv.conv", 128 + stage_out[r1_i], 64)
+    head_sd_old1("group.conv", 64, 2, kpl=4, groups=2)
+
+    params = L.convert_torch_detection_model(sd, "large", 0.1)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 224, 224, 3)
+                    .astype(np.float32))
+    maps, mp = L.apply_detection_net(params, x, "large", 0.1)
+    assert maps.shape == (1, 56, 56, 2) and mp.shape == (1, 56, 56, 2)
+    assert np.isfinite(np.asarray(maps)).all()
+    # maxpool dominates the raw map pointwise
+    assert float((np.asarray(mp) - np.asarray(maps)).min()) >= -1e-6
+
+
 def test_converter_roundtrip_full_model():
     """A synthetic geffnet-layout state_dict for model_type=1 (small 1.0)
     converts without missing keys and the net runs."""
