@@ -104,6 +104,25 @@ class DoublePlaneNeRFField(nn.Module):
         # (model/nerf_model.py:99): feature index = c*P + p
         return feats.reshape(B, N, -1)
 
+    def field_inputs(self, pts: jnp.ndarray, planes: jnp.ndarray) -> jnp.ndarray:
+        """[B, N, 3] canonical points -> the MLP input (plane feats ++ posenc)
+        [B, N, 2C+posenc] in the compute dtype (the fused-march path consumes
+        this directly — see ops/pallas_march.py)."""
+        cdt = jnp.dtype(self.compute_dtype)
+        pts_feat = self.sample_plane_features(pts, planes)
+        xyz_emb = positional_encoding(pts, self.num_encoding_fn_xyz,
+                                      include_input=False)
+        return jnp.concatenate(
+            [pts_feat.astype(cdt), xyz_emb.astype(cdt)], axis=-1)
+
+    def mlp_params(self):
+        """The dense-chain params (bound module only; fused kernels)."""
+        return {
+            name: dict(getattr(self, name).variables["params"])
+            for name in ("layer0", "layer1", "fc_alpha", "fc_rgbFeat",
+                         "fc_rgb")
+        }
+
     def __call__(
         self,
         pts: jnp.ndarray,            # [B, N, 3] canonical points (unwarped)
@@ -112,21 +131,13 @@ class DoublePlaneNeRFField(nn.Module):
     ) -> jnp.ndarray:
         """-> radiance field [B, N, rgb + feat + 1]."""
         cdt = jnp.dtype(self.compute_dtype)
-        pts_feat = self.sample_plane_features(pts, planes)
-        xyz_emb = positional_encoding(pts, self.num_encoding_fn_xyz,
-                                      include_input=False)
-        x = jnp.concatenate([pts_feat.astype(cdt), xyz_emb.astype(cdt)], axis=-1)
+        x = self.field_inputs(pts, planes)
         if (self.use_pallas_mlp and self.sh_deg == 0
                 and not self.is_initializing()):
             from havatar_tpu.ops.pallas_mlp import fused_mlp_chain
 
-            field_params = {
-                name: dict(getattr(self, name).variables["params"])
-                for name in ("layer0", "layer1", "fc_alpha",
-                             "fc_rgbFeat", "fc_rgb")
-            }
             B, N, F = x.shape
-            out = fused_mlp_chain(x.reshape(B * N, F), field_params)
+            out = fused_mlp_chain(x.reshape(B * N, F), self.mlp_params())
             return out.reshape(B, N, -1)
         x = jax.nn.relu(self.layer0(x))
         x = jax.nn.relu(self.layer1(x))

@@ -53,6 +53,10 @@ class AvatarRenderer(nn.Module):
     skin_vol_res: int = 64
     compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
     use_pallas_mlp: bool = False     # fused field MLP (inference only)
+    # fully-fused field+composite march kernels (ops/pallas_march.py):
+    # radiance never round-trips HBM. Inference only (no perturb/noise/rng);
+    # supersedes use_pallas_mlp when set.
+    use_pallas_march: bool = False
 
     def setup(self):
         field_latent_dim = self.latent_code_dim + (12 if self.cond_pose else 0)
@@ -74,7 +78,8 @@ class AvatarRenderer(nn.Module):
         yb[0] = 0.3 * yb[1]
         scales, trans = get_box_warp_param(xb, yb, zb)
         self.skinning = SkinningField(scales=scales, trans=trans,
-                                      vol_res=self.skin_vol_res)
+                                      vol_res=self.skin_vol_res,
+                                      compute_dtype=self.compute_dtype)
 
     # -- helpers -----------------------------------------------------------
 
@@ -143,6 +148,12 @@ class AvatarRenderer(nn.Module):
         # decoder must not re-run in the coarse AND fine passes
         skin_vol = (self.skinning.volume() if fixed_volume is None
                     else fixed_volume)
+        if (self.use_pallas_march and rng is None
+                and radiance_field_noise_std == 0.0 and not perturb
+                and not self.is_initializing()):
+            return self._render_rays_fused(
+                planes, ray_batch, background_prior, inv_head_T,
+                num_coarse=num_coarse, num_fine=num_fine, skin_vol=skin_vol)
         ro, rd = ray_batch[..., 0:3], ray_batch[..., 3:6]
         near, far = ray_batch[..., 6:7], ray_batch[..., 7:8]
         viewdirs = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
@@ -241,6 +252,112 @@ class AvatarRenderer(nn.Module):
             out["acc_fine"] = acc_f.reshape(B, R, 1)
             out["weights_max"] = jnp.max(weights_f, axis=-1).reshape(B, R, 1)
 
+        return out
+
+    def _render_rays_fused(
+        self,
+        planes: jnp.ndarray,
+        ray_batch: jnp.ndarray,
+        background_prior: jnp.ndarray,
+        inv_head_T: jnp.ndarray,
+        *,
+        num_coarse: int,
+        num_fine: int,
+        skin_vol: jnp.ndarray,
+    ) -> Dict[str, Any]:
+        """Deterministic inference march through the fused Pallas kernels
+        (ops/pallas_march.py): skinning + plane sampling + posenc build the
+        kernel input; the field MLP and alpha compositing run per ray tile
+        with radiance VMEM-resident. Semantics identical to the XLA path with
+        perturb/noise off (the fine reuse stores rgb/feat in bf16)."""
+        from havatar_tpu.ops.pallas_march import (
+            fused_march_coarse,
+            fused_march_fine,
+        )
+
+        B, R = ray_batch.shape[:2]
+        ro, rd = ray_batch[..., 0:3], ray_batch[..., 3:6]
+        near, far = ray_batch[..., 6:7], ray_batch[..., 7:8]
+
+        t_vals = jnp.linspace(0.0, 1.0, num_coarse, dtype=ro.dtype)
+        z_vals = near * (1.0 - t_vals) + far * t_vals       # [B, R, S]
+
+        def march_inputs(pts):
+            """[B, R', S', 3] world points -> kernel input [B*R', S', F]."""
+            b, r, s = pts.shape[:3]
+            flat = pts.reshape(b, r * s, 3)
+            can_pts, _ = self.skinning(flat, None, inv_head_T,
+                                       fixed_volume=skin_vol)
+            x = self.field.field_inputs(can_pts, planes)
+            return x.reshape(b * r, s, x.shape[-1])
+
+        pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
+        x = march_inputs(pts)
+
+        flat = lambda a: a.reshape((B * R,) + a.shape[2:])
+        zf = flat(z_vals)
+        rdf = flat(rd)
+        rd_norm = jnp.linalg.norm(rdf, axis=-1, keepdims=True)
+        d = jnp.diff(zf, axis=-1)
+        d = jnp.concatenate([d, d[..., -1:]], -1) * rd_norm
+
+        params = self.field.mlp_params()
+        rgbmap, weights, krgb, kfeat, ksig = fused_march_coarse(
+            x, d.astype(jnp.float32), params)
+
+        bgf = flat(background_prior)
+        acc_c = jnp.sum(weights, axis=-1, keepdims=True)      # [B*R, 1]
+        rgb_c = rgbmap.at[:, :3].add((1.0 - acc_c) * bgf)
+        depth_c = jnp.sum(weights * zf, axis=-1, keepdims=True)
+
+        out = {
+            "rgb_coarse": rgb_c.reshape(B, R, -1),
+            "depth_coarse": depth_c.reshape(B, R, 1),
+            "acc_coarse": acc_c.reshape(B, R, 1),
+            "weights_max": jnp.max(weights, axis=-1).reshape(B, R, 1),
+            "rgb_fine": None, "depth_fine": None, "acc_fine": None,
+        }
+        if num_fine == 0:
+            return out
+
+        # hierarchical pass: det inverse-CDF samples + comparison-count merge
+        # ranks (same math as the XLA path); compositing happens in CONCAT
+        # order inside the kernel, so only depths/dists are reordered here.
+        z_mid = 0.5 * (zf[..., 1:] + zf[..., :-1])
+        z_samples = sample_pdf(z_mid, weights[..., 1:-1], num_fine, det=True)
+        z_samples = jax.lax.stop_gradient(z_samples)
+
+        a, b = zf[:, ::2], z_samples
+        nA = a.shape[-1]
+        pos_a = (jnp.arange(nA)
+                 + jnp.sum(b[:, None, :] < a[:, :, None], axis=-1))
+        pos_b = (jnp.arange(b.shape[-1])
+                 + jnp.sum(a[:, :, None] <= b[:, None, :], axis=1))
+        ranks = jnp.concatenate([pos_a, pos_b], axis=-1)      # [B*R, Sa]
+        z_cat = jnp.concatenate([a, b], axis=-1)
+        S_all = z_cat.shape[-1]
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S_all), 2)
+        onehot = (ranks[:, :, None] == iota_s).astype(z_cat.dtype)
+        z_all = jnp.einsum("rks,rk->rs", onehot, z_cat)
+        d_sorted = jnp.diff(z_all, axis=-1)
+        d_sorted = jnp.concatenate([d_sorted, d_sorted[..., -1:]], -1) * rd_norm
+        d_concat = jnp.einsum("rks,rs->rk", onehot, d_sorted)
+
+        z_new = z_samples.reshape(B, R, num_fine)
+        pts_new = ro[..., None, :] + rd[..., None, :] * z_new[..., :, None]
+        x_new = march_inputs(pts_new)
+
+        rgbmap_f, w_concat = fused_march_fine(
+            x_new, krgb, kfeat, ksig, d_concat.astype(jnp.float32), ranks,
+            params)
+        acc_f = jnp.sum(w_concat, axis=-1, keepdims=True)
+        rgb_f = rgbmap_f.at[:, :3].add((1.0 - acc_f) * bgf)
+        depth_f = jnp.sum(w_concat * z_cat, axis=-1, keepdims=True)
+
+        out["rgb_fine"] = rgb_f.reshape(B, R, -1)
+        out["depth_fine"] = depth_f.reshape(B, R, 1)
+        out["acc_fine"] = acc_f.reshape(B, R, 1)
+        out["weights_max"] = jnp.max(w_concat, axis=-1).reshape(B, R, 1)
         return out
 
     def render_chunked(

@@ -110,6 +110,10 @@ class SkinningField(nn.Module):
     scales: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     trans: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     vol_res: int = 64
+    # "bfloat16" halves the weight-volume gather rows to 64 B (the fetch
+    # engine is issue/byte bound — see ops/grid_sample.py); blend math and
+    # geometry stay f32. Inference-path knob; training/parity keep f32.
+    compute_dtype: str = "float32"
 
     def setup(self):
         self.canonical_volume = VolumeDecoder(final_res=self.vol_res)
@@ -136,6 +140,8 @@ class SkinningField(nn.Module):
         B = pts.shape[0]
         vol = self.canonical_volume() if fixed_volume is None else fixed_volume
         vol = jnp.broadcast_to(vol, (B,) + vol.shape[1:])
+        if self.compute_dtype == "bfloat16":
+            vol = vol.astype(jnp.bfloat16)
 
         eye = jnp.concatenate(
             [jnp.eye(3, dtype=pts.dtype), jnp.zeros((1, 3), pts.dtype)], axis=0
@@ -151,7 +157,7 @@ class SkinningField(nn.Module):
             pts_inv.append(p)
             w = grid_sample_3d(vol[..., i:i + 1], self.warp(p), padding_mode="border")
             weights.append(w)
-        w = jnp.concatenate(weights, axis=-1)  # [B, N, 2]
+        w = jnp.concatenate(weights, axis=-1).astype(pts.dtype)  # [B, N, 2]
         w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-8)
 
         out_pts = sum(w[..., i:i + 1] * pts_inv[i] for i in range(2))

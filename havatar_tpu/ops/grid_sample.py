@@ -139,9 +139,14 @@ def grid_sample_3d(
         # x-runs of an overlapping x-TILE (width TW, stride TW/2) into one
         # row, fetch one row per point, and interpolate x with a 2-sparse
         # one-hot dot over the TW lanes on the VPU. For the 64³ skinning
-        # volume this is 4·16·C values/point instead of 4·64·C (4x fewer
+        # volume this is 4·TW·C values/point instead of 4·64·C (4x fewer
         # bytes than full x-rows; ~16x fewer than naive corner gathers).
-        TW = min(16, W)
+        # TW picks the measured-fastest row width (scripts/
+        # probe_fetch_width2.py): 64 B rows fetch ~1.5x faster than
+        # 128-256 B, so narrow the tile to 8 when the row fits in 64 B
+        # (C=1 bf16 — the inference-path skinning volume).
+        itemsize = jnp.dtype(vol_dhwc.dtype).itemsize
+        TW = min(8 if C * itemsize <= 2 else 16, W)
         stride = max(TW // 2, 1)
         n_tiles = max(1, -(-(W - TW) // stride) + 1)
         starts = [min(s * stride, W - TW) for s in range(n_tiles)]

@@ -55,7 +55,8 @@ def _mlp_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, wh_ref, bh_ref,
 
 
 def fused_mlp_chain(x: jnp.ndarray, params: dict,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    tile: int = TILE) -> jnp.ndarray:
     """[N, Fin] (plane feats ++ posenc) -> [N, rgb+feat+1] f32 radiance.
 
     ``params``: the field's Dense params (flax naming: layer0, layer1,
@@ -80,19 +81,19 @@ def fused_mlp_chain(x: jnp.ndarray, params: dict,
     out_feat = params["fc_rgbFeat"]["kernel"].shape[1]
     out_ch = out_rgb + out_feat + 1
 
-    pad = (-N) % TILE
+    pad = (-N) % tile
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, fin), x.dtype)], 0)
-    n_tiles = (N + pad) // TILE
+    n_tiles = (N + pad) // tile
 
     out = pl.pallas_call(
         _mlp_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((TILE, fin), lambda i: (i, 0),
+            pl.BlockSpec((tile, fin), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(8)],
-        out_specs=pl.BlockSpec((TILE, out_ch), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile, out_ch), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N + pad, out_ch), jnp.float32),
         interpret=interpret,

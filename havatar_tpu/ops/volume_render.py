@@ -51,14 +51,6 @@ def volume_render_radiance_field(
     dists = jnp.concatenate([dists, dists[..., -1:]], axis=-1)
     dists = dists * jnp.linalg.norm(ray_directions, axis=-1)[..., None]
 
-    color = radiance_field[..., :-1]
-    if act_feat:
-        color = jax.nn.sigmoid(color)
-    else:
-        color = jnp.concatenate(
-            [jax.nn.sigmoid(color[..., :3]), color[..., 3:]], axis=-1
-        )
-
     sigma = radiance_field[..., -1]
     if radiance_field_noise_std > 0.0:
         assert noise_rng is not None, "noise requires an rng key"
@@ -71,7 +63,19 @@ def volume_render_radiance_field(
     alpha = 1.0 - jnp.exp(-sigma * dists)
     weights = alpha * cumprod_exclusive(1.0 - alpha + 1e-10)
 
-    rgb_map = jnp.sum(weights[..., None] * color, axis=-2)
+    # weighted reduction over samples WITHOUT materializing an activated
+    # copy of the whole [R, S, C] radiance tensor (the feature channels are
+    # the bulk and pass through linearly when act_feat=False — reduce them
+    # straight from the input)
+    rgb3 = jnp.einsum(
+        "rs,rsc->rc", weights, jax.nn.sigmoid(radiance_field[..., :3]))
+    if act_feat:
+        featm = jnp.einsum(
+            "rs,rsc->rc", weights, jax.nn.sigmoid(radiance_field[..., 3:-1]))
+    else:
+        featm = jnp.einsum(
+            "rs,rsc->rc", weights, radiance_field[..., 3:-1])
+    rgb_map = jnp.concatenate([rgb3, featm], axis=-1)
     depth_map = jnp.sum(weights * depth_values, axis=-1)
     acc_map = jnp.sum(weights, axis=-1)
     disp_map = 1.0 / jnp.maximum(1e-10, depth_map / acc_map)

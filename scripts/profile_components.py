@@ -45,7 +45,8 @@ def main():
 
     B = 1
     renderer = AvatarRenderer(compute_dtype=flags.dtype,
-                              use_pallas_mlp=not flags.no_pallas_mlp)
+                              use_pallas_mlp=not flags.no_pallas_mlp,
+                              use_pallas_march=not flags.no_pallas_mlp)
     sr = StyleUNetSR(compute_dtype=flags.dtype)
 
     R = 128 * 128
