@@ -34,8 +34,18 @@ def main() -> None:
                    default="metamodel/v3/exBase_52.npy")
     p.add_argument("--lms_dir", type=str, default="",
                    help="precomputed landmark .npy dir (else mediapipe)")
+    p.add_argument("--lm_weights", type=str, default="",
+                   help="converted OpenSeeFace landmark weights (.npz): use "
+                        "the in-repo JaxTracker for the crop/presence role "
+                        "(preprocess/tracker.py) instead of mediapipe")
+    p.add_argument("--detect_weights", type=str, default="",
+                   help="torch-port OpenSeeFace detection.pth for the "
+                        "tracker's face detector (else whole-frame fallback)")
     p.add_argument("--rvm_path", type=str, default="",
                    help="RVM torchscript for matting (else precomputed masks)")
+    p.add_argument("--rvm_jax", action="store_true",
+                   help="run --rvm_path weights through the in-repo JAX RVM "
+                        "(preprocess/rvm.py) instead of torchscript")
     p.add_argument("--tar_size", type=int, default=512)
     p.add_argument("--cam_dist", type=float, default=10.0)
     p.add_argument("--first_frame_iters", type=int, default=2000)
@@ -59,18 +69,43 @@ def main() -> None:
     lm_backend = (landmarks.PrecomputedBackend(args.lms_dir) if args.lms_dir
                   else landmarks.get_backend("mediapipe"))
 
-    # 1. frame extraction + crop (landmark-driven)
-    def detect(frame_rgb):
-        if hasattr(lm_backend, "set_frame"):
-            lm_backend.set_frame("0")
-        return lm_backend.detect(frame_rgb)
+    # 1. frame extraction + crop (landmark-driven). With --lm_weights the
+    # crop/presence role runs the in-repo JaxTracker (the reference's
+    # OpenSeeFace split: tracker for crop, mediapipe for precise landmarks —
+    # fit_video.py:534-638 vs :163-171); otherwise the fitting backend
+    # doubles as the crop detector.
+    if args.lm_weights:
+        holder = {}
+
+        def detect(frame_rgb):
+            if "t" not in holder:
+                from havatar_tpu.preprocess.tracker import JaxTracker
+
+                h, w = frame_rgb.shape[:2]
+                holder["t"] = JaxTracker.from_weights(
+                    w, h, args.lm_weights,
+                    detect_weights=args.detect_weights or None)
+            preds = holder["t"].predict(frame_rgb)
+            return preds[0].lms[:66, :2] if preds else None
+
+        crop_fn = video.crop_params_from_landmarks
+    else:
+        def detect(frame_rgb):
+            if hasattr(lm_backend, "set_frame"):
+                lm_backend.set_frame("0")
+            return lm_backend.detect(frame_rgb)
+
+        crop_fn = video.crop_params_from_mediapipe
 
     n = video.extract_video_frames(args.video_path, args.base_dir, detect,
-                                   dst_resolution=args.tar_size)
+                                   dst_resolution=args.tar_size,
+                                   crop_fn=crop_fn)
     print(f"extracted {n + 1} frames")
 
     # 2. matting
-    if args.rvm_path:
+    if args.rvm_path and args.rvm_jax:
+        mb = matting.JaxRVMBackend(args.rvm_path)
+    elif args.rvm_path:
         mb = matting.RVMTorchBackend(args.rvm_path)
     else:
         mask_dir = os.path.join(args.base_dir, f"mv_mask{args.tar_size}", "0")

@@ -4,6 +4,9 @@ The reference uses Robust Video Matting via a TorchScript download
 (data_preprocessing/fit_video.py:640-659). That model is an external asset,
 so matting is pluggable:
 
+* ``JaxRVMBackend`` — the RVM architecture rebuilt in JAX
+  (preprocess/rvm.py); given converted weights, matting runs with no torch
+  at inference time (torch is only needed once to read the .pth).
 * ``RVMTorchBackend`` — runs an ``rvm_mobilenetv3_fp32.torchscript`` file
   with CPU torch if the user supplies it (exact reference parity).
 * ``PrecomputedBackend`` — uses existing mask PNGs.
@@ -50,6 +53,44 @@ class RVMTorchBackend(MattingBackend):
             fgr, pha, *self.rec = self.model(src, *self.rec,
                                              self.downsample_ratio)
         return pha[0, 0].numpy()
+
+
+class JaxRVMBackend(MattingBackend):
+    """Recurrent RVM matting via the JAX rebuild (preprocess/rvm.py), with
+    the same frame-serial carried state as the reference (fit_video.py:
+    640-659). ``weights`` may be a converted pytree or a path to the official
+    rvm_mobilenetv3 .pth/.torchscript file."""
+
+    def __init__(self, weights, downsample_ratio: float = 0.25):
+        import jax
+
+        from havatar_tpu.preprocess import rvm
+
+        self._rvm = rvm
+        if isinstance(weights, str):
+            weights = rvm.load_rvm_weights(weights)
+        self.params = weights
+        self.downsample_ratio = downsample_ratio
+        self.rec = (None,) * 4
+        self._fwd = jax.jit(
+            lambda p, s, rec: rvm.rvm_forward(
+                p, s, rec, downsample_ratio=downsample_ratio))
+        self._fwd_first = jax.jit(
+            lambda p, s: rvm.rvm_forward(
+                p, s, (None,) * 4, downsample_ratio=downsample_ratio))
+
+    def reset(self) -> None:
+        self.rec = (None,) * 4
+
+    def alpha(self, frame_rgb: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        src = jnp.asarray(frame_rgb, jnp.float32)[None] / 255.0
+        if self.rec[0] is None:
+            fgr, pha, self.rec = self._fwd_first(self.params, src)
+        else:
+            fgr, pha, self.rec = self._fwd(self.params, src, self.rec)
+        return np.asarray(pha[0, :, :, 0])
 
 
 class PrecomputedBackend(MattingBackend):
