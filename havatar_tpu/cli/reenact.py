@@ -44,6 +44,10 @@ def main() -> None:
     p.add_argument("--savedir", type=str, default="./renders/")
     p.add_argument("--split", type=str, required=True)
     p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--precision", type=str, default="auto",
+                   choices=["auto", "fast", "exact"],
+                   help="fast: bf16 + fused Pallas march (default on TPU); "
+                        "exact: f32 XLA path matching the parity tests")
     args = p.parse_args()
 
     cfg = resolve_config(args.config)
@@ -53,7 +57,7 @@ def main() -> None:
     stats = run_reenactment(
         cfg, args.split, args.savedir, variables, latent_codes, g_ema,
         seed=cfg.experiment.randomseed,
-        max_frames=args.max_frames or None)
+        max_frames=args.max_frames or None, precision=args.precision)
     print(json.dumps(stats))
     print("Done!")
 

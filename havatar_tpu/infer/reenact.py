@@ -64,7 +64,8 @@ def make_reenact_fn(cfg, renderer: AvatarRenderer, generator: StyleUNetSR):
 def run_reenactment(cfg, split_file: str, savedir: str, variables,
                     latent_codes, g_ema_params, seed: int = 42,
                     max_frames: Optional[int] = None,
-                    pipeline_depth: int = 3) -> Dict[str, Any]:
+                    pipeline_depth: int = 3,
+                    precision: str = "auto") -> Dict[str, Any]:
     """Offline reenactment driver. Returns timing stats.
 
     The loop is pipelined: conditions are staged to device by a prefetch
@@ -79,13 +80,23 @@ def run_reenactment(cfg, split_file: str, savedir: str, variables,
     from havatar_tpu.parallel import make_mesh
 
     renderer = build_renderer(cfg)
+    # "fast" (default on TPU): bf16 compute + the fused Pallas march
+    # kernels (ops/pallas_march.py). "exact": the f32 XLA path, bit-matched
+    # to the parity tests. The fused path requires the deterministic
+    # inference march (perturb/noise off — always true here).
+    if precision == "auto":
+        precision = "fast" if jax.default_backend() not in ("cpu",) else "exact"
+    if precision == "fast":
+        renderer = renderer.clone(compute_dtype="bfloat16",
+                                  use_pallas_march=True)
     gan = cfg.gan
     generator = StyleUNetSR(
         inp_size=cfg.models.StyleUnet.inp_size,
         inp_ch=cfg.models.StyleUnet.inp_ch, out_ch=3,
         out_size=cfg.models.StyleUnet.out_size,
         style_dim=gan.latent, n_mlp=gan.n_mlp,
-        channel_multiplier=gan.channel_multiplier)
+        channel_multiplier=gan.channel_multiplier,
+        compute_dtype=renderer.compute_dtype)
 
     os.makedirs(os.path.join(savedir, "rgb"), exist_ok=True)
     rng = jax.random.PRNGKey(seed)

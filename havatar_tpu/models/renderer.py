@@ -302,7 +302,7 @@ class AvatarRenderer(nn.Module):
         d = jnp.concatenate([d, d[..., -1:]], -1) * rd_norm
 
         params = self.field.mlp_params()
-        rgbmap, weights, krgb, kfeat, ksig = fused_march_coarse(
+        rgbmap, weights, keeps = fused_march_coarse(
             x, d.astype(jnp.float32), params)
 
         bgf = flat(background_prior)
@@ -348,8 +348,8 @@ class AvatarRenderer(nn.Module):
         x_new = march_inputs(pts_new)
 
         rgbmap_f, w_concat = fused_march_fine(
-            x_new, krgb, kfeat, ksig, d_concat.astype(jnp.float32), ranks,
-            params)
+            x_new, keeps, d_concat.astype(jnp.float32), ranks, params,
+            num_keep=num_coarse // 2)
         acc_f = jnp.sum(w_concat, axis=-1, keepdims=True)
         rgb_f = rgbmap_f.at[:, :3].add((1.0 - acc_f) * bgf)
         depth_f = jnp.sum(w_concat * z_cat, axis=-1, keepdims=True)

@@ -3,29 +3,35 @@
 Spec of the unfused math: the field tail (reference model/nerf_model.py:101-117)
 followed by ``volume_render_radiance_field`` (utils/nerf_util.py:28-73) and, for
 the hierarchical pass, the depth-merged re-evaluation (model/nerf_trainer.py:
-165-193). The fused form exists because this chip is HBM-bandwidth bound: the
-unfused chain writes the [N, 68] radiance tensor to HBM (f32, ~356 MB/frame)
-and reads it back for compositing — at the measured ~150-220 GB/s effective
-bandwidth (scripts/probe_hbm_bw.py) that round-trip alone is ~4-5 ms/frame.
-Here radiance never leaves VMEM: each grid step owns TR whole rays, runs all
-their samples through the dense chain, composites in-register, and writes only
-per-ray maps plus the (bf16) half-rate samples the fine pass reuses.
+165-193). The fused form exists because this chip is HBM-bandwidth bound
+(~150 GB/s read / ~220 GB/s r+w measured — scripts/probe_hbm_bw.py): the
+unfused chain writes the [N, 68] radiance tensor to HBM and reads it back for
+compositing; in TPU tiled layouts (8, 128) that round-trip moves ~1.3 GB
+padded. Here radiance never leaves VMEM.
+
+IO-layout rule that shaped this file: HBM arrays are tiled (8, 128) over the
+two minor dims, so ANY array whose minor dim is small (e.g. [..., S, 1]
+dists/weights) is padded 1 -> 128 and moves 128x its logical bytes. All kernel
+inputs/outputs are therefore 2D with a >=64-lane minor dim ([R, S] dists and
+weights, one packed [R*S/2, 69] keep tensor), and per-sample column vectors
+are built IN KERNEL via lane->sublane transposes of [TR, 1, S] views (tiny,
+VMEM-local).
 
 Exactness notes (inference path only; training and parity tests keep the XLA
 path):
-* the transmittance cumprod is computed by log2(S) masked shift-multiplies —
-  a different association order than jnp.cumprod, same values to f32 roundoff;
+* the transmittance cumprod is computed by log2(S) shift-multiplies — a
+  different association order than jnp.cumprod, same values to f32 roundoff;
 * the fine pass composites in CONCAT order using rank comparisons (weight of
   sample i multiplies the product of (1-alpha) over samples ranked before it)
   — algebraically identical to sorting first, so no in-kernel permutation is
   needed; the per-ray sums over samples are order-independent;
-* the coarse radiance reused by the fine pass is stored bf16 (rgb/feat; sigma
-  stays f32), a second rounding of values already produced by bf16 matmuls.
+* the coarse radiance reused by the fine pass is stored bf16 (rgb/feat), a
+  second rounding of values already produced by bf16 matmuls; sigma is kept
+  to f32 accuracy as a bf16 (hi, lo) pair in the same packed tensor.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import jax
@@ -33,8 +39,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_RAYS_COARSE = 64
-TILE_RAYS_FINE = 128
+# sized for the 16 MB v5e VMEM (a 64-ray coarse tile overflowed scoped vmem)
+TILE_RAYS_COARSE = 32
+TILE_RAYS_FINE = 32
 
 
 def _field_params(params: Dict, cdt) -> Tuple:
@@ -68,181 +75,210 @@ def _mlp(x2, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br):
     return rgb, feat, sigma
 
 
-def _cumprod_exclusive_axis1(om):
-    """Exclusive cumprod of [TR, S, 1] along axis 1 by shift-multiplies."""
-    S = om.shape[1]
-    # exclusive: shift down by one, leading one
-    c = jnp.concatenate(
-        [jnp.ones_like(om[:, :1]), om[:, :S - 1]], axis=1)
+def _to_col(v2, TR, S):
+    """[TR, S] (S on lanes) -> [TR, S, 1] (S on sublanes)."""
+    return jnp.swapaxes(v2.reshape(TR, 1, S), 1, 2)
+
+
+def _from_col(v3, TR, S):
+    """[TR, S, 1] -> [TR, S] (S on lanes)."""
+    return jnp.swapaxes(v3, 1, 2).reshape(TR, S)
+
+
+def _split_hi_lo(x):
+    """f32 -> (bf16 hi, bf16 lo) with hi + lo ~= x to f32 accuracy."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _cumprod_exclusive_lanes(om2):
+    """Exclusive cumprod of [TR, S] along the LANE axis by shift-multiplies
+    (2D lane concats are the Mosaic-safe shift; rank-3 concats with 1-lane
+    operands hit "offset mismatch on non-concat dimension")."""
+    S = om2.shape[1]
+    c = jnp.concatenate([jnp.ones_like(om2[:, :1]), om2[:, :S - 1]], axis=1)
     k = 1
     while k < S:
-        shifted = jnp.concatenate(
+        c = c * jnp.concatenate(
             [jnp.ones_like(c[:, :k]), c[:, :S - k]], axis=1)
-        c = c * shifted
         k *= 2
     return c
 
 
 def _coarse_kernel(x_ref, d_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
-                   rgbmap_ref, w_ref, krgb_ref, kfeat_ref, ksig_ref):
+                   rgbmap_ref, w_ref, keep_ref):
     TR, S, fin = x_ref.shape
     x2 = x_ref[:].reshape(TR * S, fin)
     rgb, feat, sigma = _mlp(x2, w0[:], b0[:], w1[:], b1[:], wf[:], bf_[:],
                             wa[:], ba[:], wr[:], br[:])
+    cf = feat.shape[-1]
     rgb3 = rgb.reshape(TR, S, 3)
-    feat3 = feat.reshape(TR, S, feat.shape[-1])
-    sig3 = sigma.reshape(TR, S, 1)
+    feat3 = feat.reshape(TR, S, cf)
+    sig2 = _from_col(sigma.reshape(TR, S, 1), TR, S)  # [TR, S], S on lanes
 
-    alpha = 1.0 - jnp.exp(-jnp.maximum(sig3, 0.0) * d_ref[:])
-    T = _cumprod_exclusive_axis1(1.0 - alpha + 1e-10)
-    w = alpha * T                                     # [TR, S, 1]
+    # compositing runs 2D (S on lanes): the scan shifts are lane concats
+    alpha2 = 1.0 - jnp.exp(-jnp.maximum(sig2, 0.0) * d_ref[:])
+    w2 = alpha2 * _cumprod_exclusive_lanes(1.0 - alpha2 + 1e-10)
+    w_ref[:] = w2
+    w = _to_col(w2, TR, S)                            # [TR, S, 1]
 
     rgb_map = jnp.sum(w * jax.nn.sigmoid(rgb3), axis=1)    # [TR, 3]
-    feat_map = jnp.sum(w * feat3, axis=1)                  # [TR, 64]
+    feat_map = jnp.sum(w * feat3, axis=1)                  # [TR, cf]
     rgbmap_ref[:] = jnp.concatenate([rgb_map, feat_map], axis=-1)
-    w_ref[:] = w
-    # [:, ::2] — Mosaic rejects strided sublane slices (lowers to gather);
-    # reshape to [TR, S/2, 2, C] and take pair element 0 instead
-    krgb_ref[:] = rgb3.reshape(TR, S // 2, 2, 3)[:, :, 0, :].astype(
-        krgb_ref.dtype)
-    kfeat_ref[:] = feat3.reshape(TR, S // 2, 2, feat3.shape[-1])[
-        :, :, 0, :].astype(kfeat_ref.dtype)
-    ksig_ref[:] = sig3.reshape(TR, S // 2, 2, 1)[:, :, 0, :]
+
+    # half-rate keeps, packed [feat | rgb | sigma_hi | sigma_lo] so ONE
+    # 69-lane bf16 tensor carries them (separate [..., 3]/[..., 1] outputs
+    # would lane-pad to 128 and move up to 128x their bytes). [:, ::2] is a
+    # strided sublane slice (Mosaic rejects it) -> pair-reshape, element 0.
+    def keep(v):
+        # -> 2D [TR*S/2, C]: lane-concats of rank-3 operands hit a Mosaic
+        # "offset mismatch" limitation; 2D lane concat is supported
+        c = v.shape[-1]
+        return v.reshape(TR, S // 2, 2, c)[:, :, 0, :].reshape(
+            TR * (S // 2), c)
+
+    sig_k = keep(sigma.reshape(TR, S, 1))             # [TR*S/2, 1]
+    s_hi, s_lo = _split_hi_lo(sig_k)
+    keep_ref[:] = jnp.concatenate(
+        [keep(feat3).astype(jnp.bfloat16), keep(rgb3).astype(jnp.bfloat16),
+         s_hi, s_lo], axis=-1)                        # [TR*S/2, cf+5]
 
 
 def fused_march_coarse(x: jnp.ndarray, dists: jnp.ndarray, params: Dict,
                        interpret: bool = None):
     """x: [R, S, Fin] (bf16), dists: [R, S] f32 (pre-scaled by ||rd||).
 
-    Returns (rgb_map [R, 67] f32 — no background composite,
+    Returns (rgb_map [R, 3+cf] f32 — no background composite,
              weights [R, S] f32,
-             keep_rgb [R, S//2, 3] bf16, keep_feat [R, S//2, Cf] bf16,
-             keep_sigma [R, S//2] f32).
+             keeps [R * S//2, cf+5] bf16 packed [feat|rgb|sig_hi|sig_lo] —
+             feed to fused_march_fine).
     """
     if interpret is None:   # Mosaic needs a real TPU; CPU runs interpreted
         interpret = jax.default_backend() == "cpu"
     R, S, fin = x.shape
     TR = min(TILE_RAYS_COARSE, R)
     assert R % TR == 0, (R, TR)
-    cdt = x.dtype
-    ws = _field_params(params, cdt)
+    ws = _field_params(params, x.dtype)
     cf = params["fc_rgbFeat"]["kernel"].shape[1]
-    n = R // TR
     S2 = S // 2
 
     out_shapes = (
         jax.ShapeDtypeStruct((R, 3 + cf), jnp.float32),
-        jax.ShapeDtypeStruct((R, S, 1), jnp.float32),
-        jax.ShapeDtypeStruct((R, S2, 3), jnp.bfloat16),
-        jax.ShapeDtypeStruct((R, S2, cf), jnp.bfloat16),
-        jax.ShapeDtypeStruct((R, S2, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, S), jnp.float32),
+        jax.ShapeDtypeStruct((R * S2, cf + 5), jnp.bfloat16),
     )
     out_specs = (
         pl.BlockSpec((TR, 3 + cf), lambda i: (i, 0)),
-        pl.BlockSpec((TR, S, 1), lambda i: (i, 0, 0)),
-        pl.BlockSpec((TR, S2, 3), lambda i: (i, 0, 0)),
-        pl.BlockSpec((TR, S2, cf), lambda i: (i, 0, 0)),
-        pl.BlockSpec((TR, S2, 1), lambda i: (i, 0, 0)),
+        pl.BlockSpec((TR, S), lambda i: (i, 0)),
+        pl.BlockSpec((TR * S2, cf + 5), lambda i: (i, 0)),
     )
-    rgbmap, w, krgb, kfeat, ksig = pl.pallas_call(
+    rgbmap, w, keeps = pl.pallas_call(
         _coarse_kernel,
-        grid=(n,),
+        grid=(R // TR,),
         in_specs=[
             pl.BlockSpec((TR, S, fin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, S, 1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, S), lambda i: (i, 0)),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x, dists[..., None], *ws)
-    return rgbmap, w[..., 0], krgb, kfeat, ksig[..., 0]
+    )(x, dists, *ws)
+    return rgbmap, w, keeps
 
 
-def _fine_kernel(xn_ref, krgb_ref, kfeat_ref, ksig_ref, d_ref, rsub_ref,
-                 rlane_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
-                 rgbmap_ref, w_ref):
+def _fine_kernel(xn_ref, keep_ref, d_ref, r_ref, w0, b0, w1, b1, wf, bf_,
+                 wa, ba, wr, br, rgbmap_ref, w_ref):
     TR, Sn, fin = xn_ref.shape
-    Sk = krgb_ref.shape[1]
+    cf = wf.shape[-1]
+    Sk = keep_ref.shape[0] // TR
+    Sa = Sn + Sk
     rgb_n, feat_n, sig_n = _mlp(
         xn_ref[:].reshape(TR * Sn, fin), w0[:], b0[:], w1[:], b1[:], wf[:],
         bf_[:], wa[:], ba[:], wr[:], br[:])
-    cf = feat_n.shape[-1]
 
-    rgb_c = jnp.concatenate(
-        [krgb_ref[:].astype(jnp.float32), rgb_n.reshape(TR, Sn, 3)], axis=1)
-    feat_c = jnp.concatenate(
-        [kfeat_ref[:].astype(jnp.float32), feat_n.reshape(TR, Sn, cf)], axis=1)
-    sig_c = jnp.concatenate(
-        [ksig_ref[:], sig_n.reshape(TR, Sn, 1)], axis=1)   # [TR, Sa, 1]
+    # unpack in 2D (lane slices/concats of rank-3 operands are
+    # Mosaic-fragile), then split the leading dim where rank-3 is needed
+    k2 = keep_ref[:]
+    kfeat = k2[:, :cf].astype(jnp.float32).reshape(TR, Sk, cf)
+    krgb = k2[:, cf:cf + 3].astype(jnp.float32).reshape(TR, Sk, 3)
+    ksig2 = _from_col((k2[:, cf + 3:cf + 4].astype(jnp.float32)
+                       + k2[:, cf + 4:cf + 5].astype(jnp.float32))
+                      .reshape(TR, Sk, 1), TR, Sk)         # [TR, Sk]
+    sign2 = _from_col(sig_n.reshape(TR, Sn, 1), TR, Sn)    # [TR, Sn]
 
-    alpha = 1.0 - jnp.exp(-jnp.maximum(sig_c, 0.0) * d_ref[:])
-    om = 1.0 - alpha + 1e-10                               # [TR, Sa, 1]
+    # sigma/alpha/weights all run 2D with the CONCAT order on lanes
+    sig2 = jnp.concatenate([ksig2, sign2], axis=1)         # [TR, Sa]
+    alpha2 = 1.0 - jnp.exp(-jnp.maximum(sig2, 0.0) * d_ref[:])
+    om = _to_col(1.0 - alpha2 + 1e-10, TR, Sa)             # [TR, Sa, 1]
 
     # transmittance in CONCAT order: T_i = prod_{j: rank_j < rank_i} om_j.
-    # ranks come in twice — [TR, Sa, 1] (j on sublanes) and [TR, 1, Sa]
-    # (i on lanes) — so the mask is a pure broadcast compare, no transpose
-    # of in-kernel data.
-    mask = rsub_ref[:] < rlane_ref[:]                      # [TR, Sa, Sa]
+    # ranks arrive once as [TR, Sa] (i on lanes); the j-on-sublanes view is
+    # an in-kernel transpose of the same data.
+    r_lane = r_ref[:].reshape(TR, 1, Sa)
+    r_sub = jnp.swapaxes(r_lane, 1, 2)                     # [TR, Sa, 1]
+    mask = r_sub < r_lane                                  # [TR, Sa, Sa]
     masked = jnp.where(mask, om, 1.0)                      # om broadcasts
-    T_lane = jnp.exp(jnp.sum(jnp.log(masked), axis=1, keepdims=True))
-    T = jnp.swapaxes(T_lane, 1, 2)                         # [TR, Sa, 1]
-    w = alpha * T
+    T2 = jnp.exp(jnp.sum(jnp.log(masked), axis=1,
+                         keepdims=True)).reshape(TR, Sa)
+    w2 = alpha2 * T2
+    w_ref[:] = w2
 
-    rgb_map = jnp.sum(w * jax.nn.sigmoid(rgb_c), axis=1)
-    feat_map = jnp.sum(w * feat_c, axis=1)
+    # weighted sums: keep and new parts reduced separately (their radiance
+    # never needs to be concatenated into one rank-3 tensor)
+    w3 = _to_col(w2, TR, Sa)
+    w_keep, w_new = w3[:, :Sk], w3[:, Sk:]
+    rgb_n3 = rgb_n.reshape(TR, Sn, 3)
+    feat_n3 = feat_n.reshape(TR, Sn, cf)
+    rgb_map = (jnp.sum(w_keep * jax.nn.sigmoid(krgb), axis=1)
+               + jnp.sum(w_new * jax.nn.sigmoid(rgb_n3), axis=1))
+    feat_map = (jnp.sum(w_keep * kfeat, axis=1)
+                + jnp.sum(w_new * feat_n3, axis=1))
     rgbmap_ref[:] = jnp.concatenate([rgb_map, feat_map], axis=-1)
-    w_ref[:] = w
 
 
-def fused_march_fine(x_new: jnp.ndarray, keep_rgb: jnp.ndarray,
-                     keep_feat: jnp.ndarray, keep_sigma: jnp.ndarray,
+def fused_march_fine(x_new: jnp.ndarray, keeps: jnp.ndarray,
                      dists_concat: jnp.ndarray, ranks: jnp.ndarray,
-                     params: Dict, interpret: bool = None):
+                     params: Dict, num_keep: int, interpret: bool = None):
     """Hierarchical pass over merged samples in CONCAT order [keep ++ new].
 
     x_new: [R, Sn, Fin] bf16 — field inputs of the NEW samples only.
-    keep_*: the coarse kernel's half-rate outputs. dists_concat: [R, Sa] f32 —
-    each concat element's sorted-neighbor delta (already x ||rd||).
+    keeps: the coarse kernel's packed [R*Sk, cf+5] output. dists_concat:
+    [R, Sa] f32 — each concat element's sorted-neighbor delta (x ||rd||).
     ranks: [R, Sa] — sorted position of each concat element.
 
-    Returns (rgb_map [R, 67] f32 — no background, weights [R, Sa] f32 in
+    Returns (rgb_map [R, 3+cf] f32 — no background, weights [R, Sa] f32 in
     concat order; per-ray sums/max of weights are order-independent).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     R, Sn, fin = x_new.shape
-    Sk = keep_rgb.shape[1]
+    Sk = num_keep
     Sa = Sn + Sk
     TR = min(TILE_RAYS_FINE, R)
     assert R % TR == 0, (R, TR)
-    cdt = x_new.dtype
-    ws = _field_params(params, cdt)
-    cf = keep_feat.shape[-1]
+    ws = _field_params(params, x_new.dtype)
+    cf = params["fc_rgbFeat"]["kernel"].shape[1]
 
-    rf = ranks.astype(jnp.float32)
     out_shapes = (
         jax.ShapeDtypeStruct((R, 3 + cf), jnp.float32),
-        jax.ShapeDtypeStruct((R, Sa, 1), jnp.float32),
+        jax.ShapeDtypeStruct((R, Sa), jnp.float32),
     )
     out_specs = (
         pl.BlockSpec((TR, 3 + cf), lambda i: (i, 0)),
-        pl.BlockSpec((TR, Sa, 1), lambda i: (i, 0, 0)),
+        pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
     )
     rgbmap, w = pl.pallas_call(
         _fine_kernel,
         grid=(R // TR,),
         in_specs=[
             pl.BlockSpec((TR, Sn, fin), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, Sk, 3), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, Sk, cf), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, Sk, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, Sa, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, Sa, 1), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, 1, Sa), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR * Sk, cf + 5), lambda i: (i, 0)),
+            pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
+            pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(x_new, keep_rgb, keep_feat, keep_sigma[..., None],
-      dists_concat[..., None], rf[..., None], rf[:, None, :], *ws)
-    return rgbmap, w[..., 0]
+    )(x_new, keeps, dists_concat, ranks.astype(jnp.float32), *ws)
+    return rgbmap, w

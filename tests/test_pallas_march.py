@@ -52,21 +52,33 @@ def test_coarse_kernel_matches_unfused():
     rad = _xla_field(x.reshape(R * S, fin), p).reshape(R, S, 68)
     want_rgb, _, want_acc, want_w, _ = _ref_composite(rad, z, rd)
 
-    rgbmap, w, krgb, kfeat, ksig = fused_march_coarse(
-        x, dists, p, interpret=True)
+    rgbmap, w, keeps = fused_march_coarse(x, dists, p, interpret=True)
     np.testing.assert_allclose(np.asarray(w), np.asarray(want_w),
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rgbmap), np.asarray(want_rgb),
                                atol=1e-4, rtol=1e-3)
-    # half-rate reuse outputs
-    np.testing.assert_allclose(np.asarray(ksig), np.asarray(rad[:, ::2, -1]),
-                               atol=1e-5, rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(krgb, np.float32),
-                               np.asarray(rad[:, ::2, :3]), atol=0.02,
-                               rtol=0.02)  # bf16 storage
-    np.testing.assert_allclose(np.asarray(kfeat, np.float32),
-                               np.asarray(rad[:, ::2, 3:67]), atol=0.05,
-                               rtol=0.02)
+    # half-rate reuse outputs, packed [feat | rgb | sig_hi | sig_lo]
+    k = np.asarray(keeps, np.float32).reshape(R, S // 2, 69)
+    np.testing.assert_allclose(k[..., 67] + k[..., 68],
+                               np.asarray(rad[:, ::2, -1]),
+                               atol=1e-5, rtol=1e-5)   # hi+lo ~ f32 sigma
+    np.testing.assert_allclose(k[..., 64:67], np.asarray(rad[:, ::2, :3]),
+                               atol=0.02, rtol=0.02)   # bf16 storage
+    np.testing.assert_allclose(k[..., :64], np.asarray(rad[:, ::2, 3:67]),
+                               atol=0.05, rtol=0.02)
+
+
+
+
+def _pack_keeps(rad_keep):
+    """rad_keep [R, Sk, 68] f32 -> the coarse kernel's packed keep layout."""
+    R, Sk, _ = rad_keep.shape
+    feat = rad_keep[..., 3:67].astype(jnp.bfloat16)
+    rgb = rad_keep[..., :3].astype(jnp.bfloat16)
+    sig = rad_keep[..., 67:]
+    hi = sig.astype(jnp.bfloat16)
+    lo = (sig - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([feat, rgb, hi, lo], -1).reshape(R * Sk, 69)
 
 
 def test_fine_kernel_matches_sorted_composite():
@@ -109,10 +121,8 @@ def test_fine_kernel_matches_sorted_composite():
     d_concat = jnp.einsum("rks,rs->rk", onehot, d_sorted)
 
     rgbmap, w_concat = fused_march_fine(
-        x_new, rad_keep[..., :3].astype(jnp.bfloat16).astype(jnp.float32)
-        .astype(jnp.bfloat16),
-        rad_keep[..., 3:67].astype(jnp.bfloat16),
-        rad_keep[..., 67], d_concat, ranks, p, interpret=True)
+        x_new, _pack_keeps(rad_keep), d_concat, ranks, p, num_keep=Sk,
+        interpret=True)
 
     # compare weights mapped back to sorted order
     w_sorted = jnp.einsum("rks,rk->rs", onehot, w_concat)
@@ -156,15 +166,9 @@ def test_fine_kernel_exact_with_f32_keeps():
     d_sorted = d_sorted * jnp.linalg.norm(rd, axis=-1, keepdims=True)
     d_concat = jnp.einsum("rks,rs->rk", onehot, d_sorted)
 
-    # f32 "bf16" keeps: pass rgb/feat already rounded so the only source of
-    # difference is the composite formulation itself
-    class _F32:
-        pass
-
     rgbmap, w_concat = fused_march_fine(
-        x_new, rad_keep[..., :3].astype(jnp.bfloat16),
-        rad_keep[..., 3:67].astype(jnp.bfloat16),
-        rad_keep[..., 67], d_concat, ranks, p, interpret=True)
+        x_new, _pack_keeps(rad_keep), d_concat, ranks, p, num_keep=Sk,
+        interpret=True)
     # rebuild the reference with the SAME bf16-rounded keeps
     rad_keep_r = jnp.concatenate(
         [rad_keep[..., :3].astype(jnp.bfloat16).astype(jnp.float32),
