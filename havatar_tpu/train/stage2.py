@@ -243,10 +243,18 @@ def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
         glw = L.gan_loss_weight(state.step)
         z0, z1, inject_index, knoise = sample_styles(rng_style, gt_hr.shape[0])
 
+        # remat the NeRF render: the fused step's single graph otherwise
+        # holds G-backward activations AND the D fwd/bwd live together,
+        # which exceeds a 16 GB chip at the reference operating point —
+        # recomputing the render in the backward bounds the peak
+        render_ckpt = jax.checkpoint(
+            lambda nerf_params, latent_codes: render_full(
+                nerf_params, state.nerf_buffers, latent_codes, batch,
+                rng_nerf))
+
         def g_loss_fn(trainable):
             nerf_params, latent_codes, g_params = trainable
-            render, mask, code_loss = render_full(
-                nerf_params, state.nerf_buffers, latent_codes, batch, rng_nerf)
+            render, mask, code_loss = render_ckpt(nerf_params, latent_codes)
             lr_up = L.downsample_bilinear(render[..., :3], gen_size)
             rgb_loss = jnp.mean(jnp.square(lr_up - gt_lr_up))
             nerf_loss = rgb_loss + code_loss

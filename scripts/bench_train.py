@@ -21,6 +21,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def scan_time(step_fn, state, n=4):
+    """Device-resident timing: ONE dispatch runs step_fn n times via
+    lax.scan (per-dispatch tunnel overhead here is ~0.5-1 s, so host-loop
+    timing of individual steps measures the tunnel, not the chip)."""
+    def body(st, i):
+        st, m = step_fn(st, i)
+        return st, list(m.values())[0]
+
+    f = jax.jit(lambda st: jax.lax.scan(
+        body, st, jnp.arange(n, dtype=jnp.int32)))
+    st2, vals = f(state)
+    np.asarray(vals)                      # compile + warm (honest sync)
+    t0 = time.perf_counter()
+    st2, vals = f(state)
+    np.asarray(vals)
+    return st2, round((time.perf_counter() - t0) / n, 4)
+
+
 def synth_batch(rng, B, R, cond_res=256, gen_size=512, render_size=128,
                 full=False):
     k = jax.random.split(rng, 8)
@@ -49,6 +68,12 @@ def synth_batch(rng, B, R, cond_res=256, gen_size=512, render_size=128,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    choices=["", "stage1", "stage2", "stage2_bf16"])
+    flags = ap.parse_args()
+
     from havatar_tpu.cli.common import resolve_config
     from havatar_tpu.train import stage1, stage2
 
@@ -60,30 +85,37 @@ def main():
         cpu = dev
 
     # ---- stage 1
-    cfg = resolve_config("singleview_512_base.yml")
-    rng = jax.random.PRNGKey(0)
-    batch = synth_batch(rng, B=2, R=1024)
-    example = {k: np.asarray(v) for k, v in batch.items()}
-    with jax.default_device(cpu):
-        model, state = stage1.init_state(cfg, rng, num_frames=4,
-                                         example_batch=example)
-    state = jax.device_put(state, dev)
-    batch = jax.device_put(batch, dev)
-    step = stage1.make_train_step(model, cfg)
-    state, m = step(state, batch, jax.random.PRNGKey(1))
-    np.asarray(m["loss"])   # honest sync: block_until_ready returns early
-    t0 = time.perf_counter()
-    N = 5
-    for i in range(N):
-        state, m = step(state, batch, jax.random.fold_in(rng, i))
-    np.asarray(m["loss"])
-    res["stage1_s_per_iter"] = round((time.perf_counter() - t0) / N, 4)
+    if flags.only in ("", "stage1"):
+        cfg = resolve_config("singleview_512_base.yml")
+        rng = jax.random.PRNGKey(0)
+        batch = synth_batch(rng, B=2, R=1024)
+        example = {k: np.asarray(v) for k, v in batch.items()}
+        with jax.default_device(cpu):
+            model, state = stage1.init_state(cfg, rng, num_frames=4,
+                                             example_batch=example)
+        state = jax.device_put(state, dev)
+        batch = jax.device_put(batch, dev)
+        step = stage1.make_train_step(model, cfg)
+        state, res["stage1_s_per_iter"] = scan_time(
+            lambda st, i: step(st, batch, jax.random.fold_in(rng, i)),
+            state, n=5)
+        print(json.dumps({"stage1_s_per_iter": res["stage1_s_per_iter"]}),
+              flush=True)
 
     # ---- stage 2
+    if flags.only == "stage1":
+        print(json.dumps(res))
+        return
     cfg2 = resolve_config("singleview_512_HD_base.yml")
     rng2 = jax.random.PRNGKey(2)
     batch2 = synth_batch(rng2, B=2, R=128 * 128, full=True)
     example2 = {k: np.asarray(v) for k, v in batch2.items()}
+    if flags.only == "stage2_bf16":
+        # bf16 variant in its own process: two full stage-2 model sets do
+        # not fit a 16 GB chip simultaneously
+        _stage2_bf16(cfg2, rng2, batch2, example2, cpu, dev, res)
+        print(json.dumps(res))
+        return
     with jax.default_device(cpu):
         models, st2 = stage2.init_state(cfg2, rng2, num_frames=4,
                                         example_batch=example2)
@@ -92,59 +124,50 @@ def main():
     renderer, generator, discriminator = models
     d_step, r1_step, g_step, dg_step = stage2.make_steps(cfg2, renderer, generator,
                                                 discriminator)
-    # warm up all three compiled steps
-    st2, dm = d_step(st2, batch2, jax.random.PRNGKey(3))
-    st2, rm = r1_step(st2, batch2)
-    st2, gm = g_step(st2, batch2, jax.random.PRNGKey(4))
-    np.asarray(gm["psnr"])
 
-    # per-phase breakdown (VERDICT r1 item 4)
-    N = 3
-
-    def timed(fn, key):
+    def timed(fn, key, n=3):
         nonlocal st2
-        t0 = time.perf_counter()
-        for i in range(N):
-            st2, m = fn(i)
-        np.asarray(list(m.values())[0])
-        res[key] = round((time.perf_counter() - t0) / N, 4)
+        st2, res[key] = scan_time(fn, st2, n=n)
+        print(json.dumps({key: res[key]}), flush=True)
 
-    timed(lambda i: d_step(st2, batch2, jax.random.fold_in(rng2, i)),
+    timed(lambda st, i: d_step(st, batch2, jax.random.fold_in(rng2, i)),
           "stage2_d_s")
-    timed(lambda i: r1_step(st2, batch2), "stage2_r1_s")
-    timed(lambda i: g_step(st2, batch2, jax.random.fold_in(rng2, 100 + i)),
+    timed(lambda st, i: r1_step(st, batch2), "stage2_r1_s")
+    timed(lambda st, i: g_step(st, batch2, jax.random.fold_in(rng2, 100 + i)),
           "stage2_g_s")
     # amortized per-iteration cost at the reference cadence (R1 every 16)
     res["stage2_s_per_iter"] = round(
         res["stage2_d_s"] + res["stage2_g_s"] + res["stage2_r1_s"] / 16, 4)
 
+    print(json.dumps({"stage2_s_per_iter": res["stage2_s_per_iter"]}),
+          flush=True)
     # fused fast step (one render shared between D and G losses)
-    st2, fm = dg_step(st2, batch2, jax.random.PRNGKey(9))
-    np.asarray(fm["psnr"])
-    timed(lambda i: dg_step(st2, batch2, jax.random.fold_in(rng2, 200 + i)),
+    timed(lambda st, i: dg_step(st, batch2, jax.random.fold_in(rng2, 200 + i)),
           "stage2_fused_dg_s")
     res["stage2_fast_s_per_iter"] = round(
         res["stage2_fused_dg_s"] + res["stage2_r1_s"] / 16, 4)
 
-    # bf16 compute-path variant (models.compute_dtype knob)
+    print(json.dumps(res))
+
+
+def _stage2_bf16(cfg2, rng2, batch2, example2, cpu, dev, res, N=3):
+    """bf16 compute-path variant (models.compute_dtype knob)."""
+    from havatar_tpu.train import stage2
+
     cfg2b = cfg2.clone()
     cfg2b.models.compute_dtype = "bfloat16"
     with jax.default_device(cpu):
         models_b, st2b = stage2.init_state(cfg2b, rng2, num_frames=4,
                                            example_batch=example2)
     st2b = jax.device_put(st2b, dev)
+    batch2 = jax.device_put(batch2, dev)
     d_b, r1_b, g_b, dg_b = stage2.make_steps(cfg2b, *models_b)
-    st2b, _ = d_b(st2b, batch2, jax.random.PRNGKey(5))
-    st2b, gmb = g_b(st2b, batch2, jax.random.PRNGKey(6))
-    np.asarray(gmb["psnr"])
-    t0 = time.perf_counter()
-    for i in range(N):
-        st2b, _ = d_b(st2b, batch2, jax.random.fold_in(rng2, 50 + i))
-        st2b, gmb = g_b(st2b, batch2, jax.random.fold_in(rng2, 60 + i))
-    np.asarray(gmb["psnr"])
-    res["stage2_dg_bf16_s"] = round((time.perf_counter() - t0) / N, 4)
 
-    print(json.dumps(res))
+    def both(st, i):
+        st, _ = d_b(st, batch2, jax.random.fold_in(rng2, 50 + i))
+        return g_b(st, batch2, jax.random.fold_in(rng2, 60 + i))
+
+    st2b, res["stage2_dg_bf16_s"] = scan_time(both, st2b, n=N)
 
 
 if __name__ == "__main__":
