@@ -283,21 +283,16 @@ class AvatarRenderer(nn.Module):
         z_vals = near * (1.0 - t_vals) + far * t_vals       # [B, R, S]
 
         def march_inputs(pts):
-            """[B, R', S', 3] world points -> (plane feats [B*R', S', 2C]
-            bf16/cdt — 128 lanes, pad-free — and canonical points
-            [B*R', 3, S'] f32; posenc happens inside the kernel)."""
+            """[B, R', S', 3] world points -> kernel input [B*R', S', F]."""
             b, r, s = pts.shape[:3]
             flat = pts.reshape(b, r * s, 3)
             can_pts, _ = self.skinning(flat, None, inv_head_T,
                                        fixed_volume=skin_vol)
-            cdt = jnp.dtype(self.compute_dtype)
-            feats = self.field.sample_plane_features(can_pts, planes)
-            feats = feats.astype(cdt).reshape(b * r, s, feats.shape[-1])
-            pts_t = can_pts.reshape(b * r, s, 3).transpose(0, 2, 1)
-            return feats, pts_t.astype(jnp.float32)
+            x = self.field.field_inputs(can_pts, planes)
+            return x.reshape(b * r, s, x.shape[-1])
 
         pts = ro[..., None, :] + rd[..., None, :] * z_vals[..., :, None]
-        feats, pts_t = march_inputs(pts)
+        x = march_inputs(pts)
 
         flat = lambda a: a.reshape((B * R,) + a.shape[2:])
         zf = flat(z_vals)
@@ -308,8 +303,7 @@ class AvatarRenderer(nn.Module):
 
         params = self.field.mlp_params()
         rgbmap, weights, keeps = fused_march_coarse(
-            feats, pts_t, d.astype(jnp.float32), params,
-            num_freqs=self.field.num_encoding_fn_xyz)
+            x, d.astype(jnp.float32), params)
 
         bgf = flat(background_prior)
         acc_c = jnp.sum(weights, axis=-1, keepdims=True)      # [B*R, 1]
@@ -351,12 +345,11 @@ class AvatarRenderer(nn.Module):
 
         z_new = z_samples.reshape(B, R, num_fine)
         pts_new = ro[..., None, :] + rd[..., None, :] * z_new[..., :, None]
-        feats_new, pts_new_t = march_inputs(pts_new)
+        x_new = march_inputs(pts_new)
 
         rgbmap_f, w_concat = fused_march_fine(
-            feats_new, pts_new_t, keeps, d_concat.astype(jnp.float32), ranks,
-            params, num_keep=num_coarse // 2,
-            num_freqs=self.field.num_encoding_fn_xyz)
+            x_new, keeps, d_concat.astype(jnp.float32), ranks, params,
+            num_keep=num_coarse // 2)
         acc_f = jnp.sum(w_concat, axis=-1, keepdims=True)
         rgb_f = rgbmap_f.at[:, :3].add((1.0 - acc_f) * bgf)
         depth_f = jnp.sum(w_concat * z_cat, axis=-1, keepdims=True)

@@ -44,50 +44,27 @@ TILE_RAYS_COARSE = 32
 TILE_RAYS_FINE = 32
 
 
-def _field_params(params: Dict, cdt, num_freqs: int) -> Tuple:
-    """Flax field params -> flat weight tuple (bf16 matmul inputs, f32 bias);
-    layer0's kernel is split into (plane-feature rows, posenc rows)."""
+def _field_params(params: Dict, cdt) -> Tuple:
+    """Flax field params -> flat weight tuple (bf16 matmul inputs, f32 bias)."""
     def w(name):
         return params[name]["kernel"].astype(cdt)
 
     def b(name):
         return params[name]["bias"].astype(jnp.float32)[None, :]
 
-    w0 = w("layer0")
-    cp = 2 * 3 * num_freqs
-    c2 = w0.shape[0] - cp
-    return (w0[:c2], w0[c2:], b("layer0"), w("layer1"), b("layer1"),
+    return (w("layer0"), b("layer0"), w("layer1"), b("layer1"),
             w("fc_rgbFeat"), b("fc_rgbFeat"), w("fc_alpha"), b("fc_alpha"),
             w("fc_rgb"), b("fc_rgb"))
 
 
-import math
+def _mlp(x2, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br):
+    """[P, Fin] -> (rgb [P, 3] f32, feat [P, 64] f32, sigma [P, 1] f32).
 
-
-def _posenc_2d(pts2, num_freqs):
-    """[P, 3] f32 -> [P, 3*2*F] f32, EXACTLY ops/embedding.py's [F, 2, C]
-    order: per frequency, sin(f*xyz) then sin(f*xyz + pi/2). Built in 2D
-    (rank-3 lane concats of 3-lane operands are Mosaic-fragile)."""
-    pieces = []
-    for k in range(num_freqs):
-        ang = pts2 * (2.0 ** k)
-        pieces.append(jnp.sin(ang))
-        pieces.append(jnp.sin(ang + math.pi / 2))
-    return jnp.concatenate(pieces, axis=-1)
-
-
-def _mlp(feats2, pe2, w0f, w0p, b0, w1, b1, wf, bf_, wa, ba, wr, br):
-    """(plane feats [P, C2], posenc [P, Cp]) -> (rgb [P, 3] f32,
-    feat [P, 64] f32, sigma [P, 1] f32).
-
-    The first layer runs as TWO dots (feats @ W0[:C2] + posenc @ W0[C2:]) so
-    the big feats input can stay a pad-free 128-lane tensor while posenc is
-    computed in kernel. Split-head formulation (separate feat/alpha dots) so
-    no lane slicing of a 65-wide head is needed.
+    Split-head formulation (separate feat/alpha dots) so no lane slicing of a
+    65-wide head is needed.
     """
-    cdt = feats2.dtype
-    h = (jnp.dot(feats2, w0f, preferred_element_type=jnp.float32)
-         + jnp.dot(pe2.astype(cdt), w0p, preferred_element_type=jnp.float32))
+    cdt = x2.dtype
+    h = jnp.dot(x2, w0, preferred_element_type=jnp.float32)
     h = jnp.maximum(h + b0, 0.0).astype(cdt)
     h = jnp.dot(h, w1, preferred_element_type=jnp.float32)
     h = jnp.maximum(h + b1, 0.0).astype(cdt)
@@ -129,16 +106,12 @@ def _cumprod_exclusive_lanes(om2):
     return c
 
 
-def _coarse_kernel(num_freqs, f_ref, p_ref, d_ref, w0f, w0p, b0, w1, b1,
-                   wf, bf_, wa, ba, wr, br, rgbmap_ref, w_ref, keep_ref):
-    TR, S, c2 = f_ref.shape
-    feats2 = f_ref[:].reshape(TR * S, c2)
-    # pts arrive [TR, 3, S] (3 on sublanes -> no 128-lane padding tax on the
-    # HBM side); transpose to per-point rows and build posenc in kernel
-    pts2 = jnp.swapaxes(p_ref[:], 1, 2).reshape(TR * S, 3)
-    pe2 = _posenc_2d(pts2, num_freqs)
-    rgb, feat, sigma = _mlp(feats2, pe2, w0f[:], w0p[:], b0[:], w1[:], b1[:],
-                            wf[:], bf_[:], wa[:], ba[:], wr[:], br[:])
+def _coarse_kernel(x_ref, d_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
+                   rgbmap_ref, w_ref, keep_ref):
+    TR, S, fin = x_ref.shape
+    x2 = x_ref[:].reshape(TR * S, fin)
+    rgb, feat, sigma = _mlp(x2, w0[:], b0[:], w1[:], b1[:], wf[:], bf_[:],
+                            wa[:], ba[:], wr[:], br[:])
     cf = feat.shape[-1]
     rgb3 = rgb.reshape(TR, S, 3)
     feat3 = feat.reshape(TR, S, cf)
@@ -172,26 +145,21 @@ def _coarse_kernel(num_freqs, f_ref, p_ref, d_ref, w0f, w0p, b0, w1, b1,
          s_hi, s_lo], axis=-1)                        # [TR*S/2, cf+5]
 
 
-def fused_march_coarse(feats: jnp.ndarray, pts_t: jnp.ndarray,
-                       dists: jnp.ndarray, params: Dict,
-                       num_freqs: int = 8, interpret: bool = None):
-    """feats: [R, S, C2] plane features (bf16, C2=128 -> pad-free);
-    pts_t: [R, 3, S] f32 canonical points (posenc computed in kernel);
-    dists: [R, S] f32 (pre-scaled by ||rd||).
+def fused_march_coarse(x: jnp.ndarray, dists: jnp.ndarray, params: Dict,
+                       interpret: bool = None):
+    """x: [R, S, Fin] (bf16), dists: [R, S] f32 (pre-scaled by ||rd||).
 
     Returns (rgb_map [R, 3+cf] f32 — no background composite,
              weights [R, S] f32,
              keeps [R * S//2, cf+5] bf16 packed [feat|rgb|sig_hi|sig_lo] —
              feed to fused_march_fine).
     """
-    import functools
-
     if interpret is None:   # Mosaic needs a real TPU; CPU runs interpreted
         interpret = jax.default_backend() == "cpu"
-    R, S, c2 = feats.shape
+    R, S, fin = x.shape
     TR = min(TILE_RAYS_COARSE, R)
     assert R % TR == 0, (R, TR)
-    ws = _field_params(params, feats.dtype, num_freqs)
+    ws = _field_params(params, x.dtype)
     cf = params["fc_rgbFeat"]["kernel"].shape[1]
     S2 = S // 2
 
@@ -206,31 +174,27 @@ def fused_march_coarse(feats: jnp.ndarray, pts_t: jnp.ndarray,
         pl.BlockSpec((TR * S2, cf + 5), lambda i: (i, 0)),
     )
     rgbmap, w, keeps = pl.pallas_call(
-        functools.partial(_coarse_kernel, num_freqs),
+        _coarse_kernel,
         grid=(R // TR,),
         in_specs=[
-            pl.BlockSpec((TR, S, c2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, 3, S), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, S, fin), lambda i: (i, 0, 0)),
             pl.BlockSpec((TR, S), lambda i: (i, 0)),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(11)],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(feats, pts_t, dists, *ws)
+    )(x, dists, *ws)
     return rgbmap, w, keeps
 
 
-def _fine_kernel(num_freqs, fn_ref, pn_ref, keep_ref, d_ref, r_ref, w0f,
-                 w0p, b0, w1, b1, wf, bf_, wa, ba, wr, br, rgbmap_ref,
-                 w_ref):
-    TR, Sn, c2 = fn_ref.shape
+def _fine_kernel(xn_ref, keep_ref, d_ref, r_ref, w0, b0, w1, b1, wf, bf_,
+                 wa, ba, wr, br, rgbmap_ref, w_ref):
+    TR, Sn, fin = xn_ref.shape
     cf = wf.shape[-1]
     Sk = keep_ref.shape[0] // TR
     Sa = Sn + Sk
-    ptsn2 = jnp.swapaxes(pn_ref[:], 1, 2).reshape(TR * Sn, 3)
     rgb_n, feat_n, sig_n = _mlp(
-        fn_ref[:].reshape(TR * Sn, c2), _posenc_2d(ptsn2, num_freqs),
-        w0f[:], w0p[:], b0[:], w1[:], b1[:], wf[:],
+        xn_ref[:].reshape(TR * Sn, fin), w0[:], b0[:], w1[:], b1[:], wf[:],
         bf_[:], wa[:], ba[:], wr[:], br[:])
 
     # unpack in 2D (lane slices/concats of rank-3 operands are
@@ -273,15 +237,12 @@ def _fine_kernel(num_freqs, fn_ref, pn_ref, keep_ref, d_ref, r_ref, w0f,
     rgbmap_ref[:] = jnp.concatenate([rgb_map, feat_map], axis=-1)
 
 
-def fused_march_fine(feats_new: jnp.ndarray, pts_new_t: jnp.ndarray,
-                     keeps: jnp.ndarray,
+def fused_march_fine(x_new: jnp.ndarray, keeps: jnp.ndarray,
                      dists_concat: jnp.ndarray, ranks: jnp.ndarray,
-                     params: Dict, num_keep: int, num_freqs: int = 8,
-                     interpret: bool = None):
+                     params: Dict, num_keep: int, interpret: bool = None):
     """Hierarchical pass over merged samples in CONCAT order [keep ++ new].
 
-    feats_new: [R, Sn, C2] bf16 plane features of the NEW samples;
-    pts_new_t: [R, 3, Sn] f32 canonical points (posenc in kernel).
+    x_new: [R, Sn, Fin] bf16 — field inputs of the NEW samples only.
     keeps: the coarse kernel's packed [R*Sk, cf+5] output. dists_concat:
     [R, Sa] f32 — each concat element's sorted-neighbor delta (x ||rd||).
     ranks: [R, Sa] — sorted position of each concat element.
@@ -289,16 +250,14 @@ def fused_march_fine(feats_new: jnp.ndarray, pts_new_t: jnp.ndarray,
     Returns (rgb_map [R, 3+cf] f32 — no background, weights [R, Sa] f32 in
     concat order; per-ray sums/max of weights are order-independent).
     """
-    import functools
-
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    R, Sn, c2 = feats_new.shape
+    R, Sn, fin = x_new.shape
     Sk = num_keep
     Sa = Sn + Sk
     TR = min(TILE_RAYS_FINE, R)
     assert R % TR == 0, (R, TR)
-    ws = _field_params(params, feats_new.dtype, num_freqs)
+    ws = _field_params(params, x_new.dtype)
     cf = params["fc_rgbFeat"]["kernel"].shape[1]
 
     out_shapes = (
@@ -310,18 +269,16 @@ def fused_march_fine(feats_new: jnp.ndarray, pts_new_t: jnp.ndarray,
         pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
     )
     rgbmap, w = pl.pallas_call(
-        functools.partial(_fine_kernel, num_freqs),
+        _fine_kernel,
         grid=(R // TR,),
         in_specs=[
-            pl.BlockSpec((TR, Sn, c2), lambda i: (i, 0, 0)),
-            pl.BlockSpec((TR, 3, Sn), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, Sn, fin), lambda i: (i, 0, 0)),
             pl.BlockSpec((TR * Sk, cf + 5), lambda i: (i, 0)),
             pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
             pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(11)],
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(feats_new, pts_new_t, keeps, dists_concat, ranks.astype(jnp.float32),
-      *ws)
+    )(x_new, keeps, dists_concat, ranks.astype(jnp.float32), *ws)
     return rgbmap, w

@@ -177,10 +177,17 @@ def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
         # comparing at 128² directly.
         gt_lr_up = L.downsample_bilinear(gt_lr, gen_size)
 
+        # remat the render (math-identical; recomputed in the backward):
+        # the G graph's peak sits within ~100 MB of a 16 GB chip at the
+        # reference operating point, and tips over inside a lax.scan
+        render_g = jax.checkpoint(
+            lambda nerf_params, latent_codes: render_full(
+                nerf_params, state.nerf_buffers, latent_codes, batch,
+                rng_nerf))
+
         def loss_fn(trainable):
             nerf_params, latent_codes, g_params = trainable
-            render, mask, code_loss = render_full(
-                nerf_params, state.nerf_buffers, latent_codes, batch, rng_nerf)
+            render, mask, code_loss = render_g(nerf_params, latent_codes)
             lr_img = render[..., :3]
             lr_up = L.downsample_bilinear(lr_img, gen_size)
             rgb_loss = jnp.mean(jnp.square(lr_up - gt_lr_up))

@@ -30,12 +30,14 @@ def scan_time(step_fn, state, n=4):
         st, m = step_fn(st, i)
         return st, list(m.values())[0]
 
+    # donate the carry: without it the scan holds input + output state
+    # copies and the G-step peak no longer fits the 16 GB chip
     f = jax.jit(lambda st: jax.lax.scan(
-        body, st, jnp.arange(n, dtype=jnp.int32)))
+        body, st, jnp.arange(n, dtype=jnp.int32)), donate_argnums=0)
     st2, vals = f(state)
     np.asarray(vals)                      # compile + warm (honest sync)
     t0 = time.perf_counter()
-    st2, vals = f(state)
+    st2, vals = f(st2)
     np.asarray(vals)
     return st2, round((time.perf_counter() - t0) / n, 4)
 

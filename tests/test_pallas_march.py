@@ -7,21 +7,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from havatar_tpu.ops import positional_encoding, volume_render_radiance_field
+from havatar_tpu.ops import volume_render_radiance_field
 from havatar_tpu.ops.pallas_march import (
     fused_march_coarse,
     fused_march_fine,
 )
-
-
-def _split_inputs(rng, R, S, fin=176, nf=8):
-    """Random (plane feats, pts) + the equivalent concatenated x."""
-    c2 = fin - 3 * 2 * nf
-    feats = jnp.asarray(rng.randn(R, S, c2).astype(np.float32))
-    pts = jnp.asarray(rng.rand(R, S, 3).astype(np.float32) * 2 - 1)
-    pe = positional_encoding(pts, nf, include_input=False)
-    x = jnp.concatenate([feats, pe], -1)
-    return feats, pts, x
 
 
 def _params(rng, fin=176, hidden=128, cf=64):
@@ -51,7 +41,7 @@ def test_coarse_kernel_matches_unfused():
     rng = np.random.RandomState(0)
     R, S, fin = 128, 16, 176
     p = _params(rng, fin)
-    feats, pts, x = _split_inputs(rng, R, S, fin)
+    x = jnp.asarray(rng.randn(R, S, fin).astype(np.float32))
     z = jnp.sort(jnp.asarray(rng.rand(R, S).astype(np.float32) * 2 + 1), -1)
     rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
 
@@ -62,8 +52,7 @@ def test_coarse_kernel_matches_unfused():
     rad = _xla_field(x.reshape(R * S, fin), p).reshape(R, S, 68)
     want_rgb, _, want_acc, want_w, _ = _ref_composite(rad, z, rd)
 
-    rgbmap, w, keeps = fused_march_coarse(
-        feats, pts.transpose(0, 2, 1), dists, p, interpret=True)
+    rgbmap, w, keeps = fused_march_coarse(x, dists, p, interpret=True)
     np.testing.assert_allclose(np.asarray(w), np.asarray(want_w),
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(rgbmap), np.asarray(want_rgb),
@@ -106,8 +95,8 @@ def test_fine_kernel_matches_sorted_composite():
     z_new = jnp.sort(
         jnp.asarray(rng.rand(R, Sn).astype(np.float32) * 2 + 1), -1)
 
-    _, _, x_keep = _split_inputs(rng, R, Sk, fin)
-    feats_n, pts_n, x_new = _split_inputs(rng, R, Sn, fin)
+    x_keep = jnp.asarray(rng.randn(R, Sk, fin).astype(np.float32))
+    x_new = jnp.asarray(rng.randn(R, Sn, fin).astype(np.float32))
 
     rad_keep = _xla_field(x_keep.reshape(-1, fin), p).reshape(R, Sk, 68)
     rad_new = _xla_field(x_new.reshape(-1, fin), p).reshape(R, Sn, 68)
@@ -132,8 +121,8 @@ def test_fine_kernel_matches_sorted_composite():
     d_concat = jnp.einsum("rks,rs->rk", onehot, d_sorted)
 
     rgbmap, w_concat = fused_march_fine(
-        feats_n, pts_n.transpose(0, 2, 1), _pack_keeps(rad_keep), d_concat,
-        ranks, p, num_keep=Sk, interpret=True)
+        x_new, _pack_keeps(rad_keep), d_concat, ranks, p, num_keep=Sk,
+        interpret=True)
 
     # compare weights mapped back to sorted order
     w_sorted = jnp.einsum("rks,rk->rs", onehot, w_concat)
@@ -156,8 +145,8 @@ def test_fine_kernel_exact_with_f32_keeps():
     rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
     z_keep = jnp.sort(jnp.asarray(rng.rand(R, Sk).astype(np.float32)), -1)
     z_new = jnp.sort(jnp.asarray(rng.rand(R, Sn).astype(np.float32)), -1)
-    _, _, x_keep = _split_inputs(rng, R, Sk, fin)
-    feats_n, pts_n, x_new = _split_inputs(rng, R, Sn, fin)
+    x_keep = jnp.asarray(rng.randn(R, Sk, fin).astype(np.float32))
+    x_new = jnp.asarray(rng.randn(R, Sn, fin).astype(np.float32))
     rad_keep = _xla_field(x_keep.reshape(-1, fin), p).reshape(R, Sk, 68)
 
     z_cat = jnp.concatenate([z_keep, z_new], -1)
@@ -178,8 +167,8 @@ def test_fine_kernel_exact_with_f32_keeps():
     d_concat = jnp.einsum("rks,rs->rk", onehot, d_sorted)
 
     rgbmap, w_concat = fused_march_fine(
-        feats_n, pts_n.transpose(0, 2, 1), _pack_keeps(rad_keep), d_concat,
-        ranks, p, num_keep=Sk, interpret=True)
+        x_new, _pack_keeps(rad_keep), d_concat, ranks, p, num_keep=Sk,
+        interpret=True)
     # rebuild the reference with the SAME bf16-rounded keeps
     rad_keep_r = jnp.concatenate(
         [rad_keep[..., :3].astype(jnp.bfloat16).astype(jnp.float32),
