@@ -34,12 +34,17 @@ def main() -> None:
                          "(auto-enabled when >1 device)")
     flags, _ = ap.parse_known_args()
 
-    forward, example_args = _build_flagship()
+    use_mesh = flags.mesh or jax.device_count() > 1
+    # GSPMD cannot partition a Pallas custom call across the ray axis —
+    # the sharded path runs the XLA march (shard_map serving is the
+    # production multi-chip route, infer/serving.py)
+    forward, example_args = _build_flagship(
+        use_pallas_march=not use_mesh, use_pallas_mlp=not use_mesh)
     (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, front, left,
      right, style) = example_args
 
     mesh = None
-    if flags.mesh or jax.device_count() > 1:
+    if use_mesh:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from havatar_tpu.parallel import make_mesh
