@@ -32,34 +32,29 @@ def main() -> None:
     ap.add_argument("--mesh", action="store_true",
                     help="shard the ray axis over all visible devices "
                          "(auto-enabled when >1 device)")
+    ap.add_argument("--frames", type=int, default=30,
+                    help="frames per timed run (smoke tests use 1)")
     flags, _ = ap.parse_known_args()
 
     use_mesh = flags.mesh or jax.device_count() > 1
-    # GSPMD cannot partition a Pallas custom call across the ray axis —
-    # the sharded path runs the XLA march (shard_map serving is the
-    # production multi-chip route, infer/serving.py)
-    forward, example_args = _build_flagship(
-        use_pallas_march=not use_mesh, use_pallas_mlp=not use_mesh)
-    (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, front, left,
-     right, style) = example_args
-
     mesh = None
     if use_mesh:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         from havatar_tpu.parallel import make_mesh
 
         mesh = make_mesh(("data",))
-        ray_sh = NamedSharding(mesh, P(None, "data"))
-        rays = jax.device_put(rays, ray_sh)
-        bg = jax.device_put(bg, ray_sh)
+    # Multi-chip runs the shard_map serving route (infer/serving.py): each
+    # chip runs the fused Pallas march on its ray shard — shard_map is what
+    # keeps the kernels on a mesh (GSPMD cannot partition a Pallas call).
+    forward, example_args = _build_flagship(mesh=mesh)
+    (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, front, left,
+     right, style) = example_args
 
     # Per-frame varying inputs (conditions + head pose), pre-staged on device.
     # The frame loop runs INSIDE one jitted program (lax.map over frames) so
     # we measure device throughput — in production the conditions stream in
     # via async host->device copies that overlap compute; this environment's
     # per-call tunnel RPC (~seconds) would otherwise swamp the measurement.
-    n_frames = 30
+    n_frames = flags.frames
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
     fronts = jax.random.uniform(k1, (n_frames,) + front.shape)
@@ -95,7 +90,7 @@ def main() -> None:
     n_dev = jax.device_count() if mesh is not None else 1
     label = ("512^2 self-reenactment throughput (1 chip)" if n_dev == 1
              else f"512^2 self-reenactment throughput ({n_dev} chips, "
-                  "ray-sharded)")
+                  "ray-sharded fused march via shard_map)")
     print(json.dumps({
         "metric": label,
         "value": round(fps, 2),

@@ -9,9 +9,19 @@ The per-frame compute splits naturally (SURVEY.md §2.6):
     all-gather of the 128² feature image over ICI (≈4 MB).
 
 This is the TPU-native replacement for the reference's serial 4096-ray
-chunking, scaled across a v5e-8: 8x the march throughput per frame.
-Validated on virtual CPU meshes by tests/test_serving_mesh.py and the
-driver's dryrun_multichip.
+chunking (model/nerf_trainer.py:66-71; per-frame hot loop
+avatarHD_reenactment.py:165-167), scaled across a v5e-8: 8x the march
+throughput per frame.
+
+Why ``shard_map`` and not plain GSPMD: the fused march kernels
+(ops/pallas_march.py) are Pallas custom calls, which GSPMD cannot partition —
+under ``jit`` + sharding constraints alone they silently force the whole ray
+axis onto one device (or fall back to the unfused XLA march). ``shard_map``
+is the per-device-code escape hatch: each device runs the SAME single-chip
+program — Pallas kernels included — on its ray shard, so the kernels that set
+the single-chip number survive on the mesh. Validated output-identical to the
+single-device path on virtual CPU meshes by tests/test_serving_mesh.py and
+the driver's dryrun_multichip.
 """
 
 from __future__ import annotations
@@ -25,30 +35,66 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from havatar_tpu.models.renderer import AvatarRenderer
 
 
+def _generate_planes(m: AvatarRenderer, latent, inv_T, front, left, right):
+    cond_c = inv_T.reshape(latent.shape[0], -1)
+    return m.field.generate_planes(latent, cond_c, front, left, right)
+
+
+def _march(m: AvatarRenderer, planes, rays, bg, inv_T, skin_vol,
+           num_coarse, num_fine):
+    out = m.render_rays(
+        planes, rays, bg, inv_T,
+        num_coarse=num_coarse, num_fine=num_fine, perturb=False,
+        fixed_volume=skin_vol)
+    rgb = out["rgb_fine"] if out["rgb_fine"] is not None else out["rgb_coarse"]
+    acc = out["acc_fine"] if out["acc_fine"] is not None else out["acc_coarse"]
+    return rgb, acc
+
+
 def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
                           num_coarse: int = 64, num_fine: int = 16,
                           to_uint8: bool = False):
     """Build a jitted frame function whose ray axis is sharded over
-    ``mesh['data']``.
+    ``mesh['data']`` with ``shard_map`` (Pallas kernels run per shard).
 
     Returns fn(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
                front, left, right, style) -> 512² RGB (or the feature render
     when ``sr`` is None). Inputs: ``rays``/``bg`` should be placed with
-    ray_sharding(mesh); everything else replicated. GSPMD propagates the ray
-    sharding through the march and inserts the gather before the SR convs.
+    ray_sharding(mesh); everything else replicated. Structure per frame:
+
+      1. plane generation — replicated (per-frame image nets, ≈3 ms);
+      2. ``shard_map`` over the ray axis: each device runs the full
+         single-chip march (fused Pallas field+composite kernels when the
+         renderer has ``use_pallas_march``) on R/n_devices rays — zero
+         collectives inside;
+      3. all-gather of the [B, 128, 128, 64+3] feature image (the only
+         collective, inserted by the sharding constraint) → replicated SR.
     """
-    ray_sh = NamedSharding(mesh, P(None, "data"))
     rep = NamedSharding(mesh, P())
+    ndev = mesh.size
 
     def frame_fn(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
                  front, left, right, style):
-        rays = jax.lax.with_sharding_constraint(rays, ray_sh)
-        bg = jax.lax.with_sharding_constraint(bg, ray_sh)
-        render, mask = renderer.apply(
-            nerf_vars, rays, bg, latent, inv_T, front, left, right,
-            num_coarse=num_coarse, num_fine=num_fine, perturb=False,
-            fixed_volume=skin_vol,
-            method=AvatarRenderer.render_full_image)
+        B, R = rays.shape[:2]
+        assert R % ndev == 0, (R, ndev)
+        planes = renderer.apply(nerf_vars, latent, inv_T, front, left, right,
+                                method=_generate_planes)
+
+        def march_shard(nerf_vars, planes, skin_vol, rays, bg, inv_T):
+            return renderer.apply(
+                nerf_vars, planes, rays, bg, inv_T, skin_vol,
+                num_coarse, num_fine, method=_march)
+
+        rgb, acc = jax.shard_map(
+            march_shard,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(None, "data"), P(None, "data"), P()),
+            out_specs=(P(None, "data"), P(None, "data")),
+            check_vma=False,
+        )(nerf_vars, planes, skin_vol, rays, bg, inv_T)
+
+        s = renderer.render_size
+        render = rgb.reshape(B, s, s, -1)
         if sr is None:
             return render
         render = jax.lax.with_sharding_constraint(render, rep)

@@ -115,6 +115,31 @@ class DoublePlaneNeRFField(nn.Module):
         return jnp.concatenate(
             [pts_feat.astype(cdt), xyz_emb.astype(cdt)], axis=-1)
 
+    def field_inputs_quad(self, pts: jnp.ndarray, planes: jnp.ndarray):
+        """Raw-gather variant of ``field_inputs`` for the quad-consuming
+        march kernels: the corner reduction happens IN the Pallas kernel
+        (VMEM), not in XLA, removing the [N, 4C] einsum HBM round-trip.
+
+        Returns (quads [B, N, 8C] plane-dtype — XY quad row ++ ZY quad row,
+        aux [B, N, posenc+8] f32 — posenc ++ w4_xy ++ w4_zy). The kernel
+        rebuilds the MLP input as [xy, zy, posenc] BLOCK order; layer0's
+        weight rows are permuted accordingly (ops/pallas_march.py) since the
+        reference interleaves plane channels as c*P+p (model/nerf_model.py:99).
+        """
+        from havatar_tpu.ops import grid_sample_2d_quad
+
+        warped = self.gridwarper(pts)
+        rows_xy, w_xy = grid_sample_2d_quad(
+            planes[0], warped[..., (0, 1)], "zeros")
+        rows_zy, w_zy = grid_sample_2d_quad(
+            planes[1], warped[..., (2, 1)], "zeros")
+        xyz_emb = positional_encoding(pts, self.num_encoding_fn_xyz,
+                                      include_input=False)
+        quads = jnp.concatenate([rows_xy, rows_zy], axis=-1)
+        aux = jnp.concatenate(
+            [xyz_emb.astype(jnp.float32), w_xy, w_zy], axis=-1)
+        return quads, aux
+
     def mlp_params(self):
         """The dense-chain params (bound module only; fused kernels)."""
         return {

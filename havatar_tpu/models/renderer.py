@@ -57,6 +57,11 @@ class AvatarRenderer(nn.Module):
     # radiance never round-trips HBM. Inference only (no perturb/noise/rng);
     # supersedes use_pallas_mlp when set.
     use_pallas_march: bool = False
+    # quad-consuming march kernels: the bilinear corner reduction of the
+    # plane gathers runs IN the kernel (raw [N, 8C] quad rows in, corner
+    # einsum + MLP-input round-trips eliminated — docs/PERF.md round 3).
+    # Only meaningful with use_pallas_march.
+    use_pallas_quad: bool = True
 
     def setup(self):
         field_latent_dim = self.latent_code_dim + (12 if self.cond_pose else 0)
@@ -272,22 +277,31 @@ class AvatarRenderer(nn.Module):
         perturb/noise off (the fine reuse stores rgb/feat in bf16)."""
         from havatar_tpu.ops.pallas_march import (
             fused_march_coarse,
+            fused_march_coarse_quad,
             fused_march_fine,
+            fused_march_fine_quad,
         )
 
         B, R = ray_batch.shape[:2]
         ro, rd = ray_batch[..., 0:3], ray_batch[..., 3:6]
         near, far = ray_batch[..., 6:7], ray_batch[..., 7:8]
+        quad = self.use_pallas_quad
 
         t_vals = jnp.linspace(0.0, 1.0, num_coarse, dtype=ro.dtype)
         z_vals = near * (1.0 - t_vals) + far * t_vals       # [B, R, S]
 
         def march_inputs(pts):
-            """[B, R', S', 3] world points -> kernel input [B*R', S', F]."""
+            """[B, R', S', 3] world points -> kernel inputs: either the
+            pre-reduced [B*R', S', F] MLP input, or (quads, aux) raw gather
+            rows for the quad-consuming kernels."""
             b, r, s = pts.shape[:3]
             flat = pts.reshape(b, r * s, 3)
             can_pts, _ = self.skinning(flat, None, inv_head_T,
                                        fixed_volume=skin_vol)
+            if quad:
+                quads, aux = self.field.field_inputs_quad(can_pts, planes)
+                return (quads.reshape(b * r, s, quads.shape[-1]),
+                        aux.reshape(b * r, s, aux.shape[-1]))
             x = self.field.field_inputs(can_pts, planes)
             return x.reshape(b * r, s, x.shape[-1])
 
@@ -302,8 +316,12 @@ class AvatarRenderer(nn.Module):
         d = jnp.concatenate([d, d[..., -1:]], -1) * rd_norm
 
         params = self.field.mlp_params()
-        rgbmap, weights, keeps = fused_march_coarse(
-            x, d.astype(jnp.float32), params)
+        if quad:
+            rgbmap, weights, keeps = fused_march_coarse_quad(
+                x[0], x[1], d.astype(jnp.float32), params)
+        else:
+            rgbmap, weights, keeps = fused_march_coarse(
+                x, d.astype(jnp.float32), params)
 
         bgf = flat(background_prior)
         acc_c = jnp.sum(weights, axis=-1, keepdims=True)      # [B*R, 1]
@@ -347,9 +365,14 @@ class AvatarRenderer(nn.Module):
         pts_new = ro[..., None, :] + rd[..., None, :] * z_new[..., :, None]
         x_new = march_inputs(pts_new)
 
-        rgbmap_f, w_concat = fused_march_fine(
-            x_new, keeps, d_concat.astype(jnp.float32), ranks, params,
-            num_keep=num_coarse // 2)
+        if quad:
+            rgbmap_f, w_concat = fused_march_fine_quad(
+                x_new[0], x_new[1], keeps, d_concat.astype(jnp.float32),
+                ranks, params, num_keep=num_coarse // 2)
+        else:
+            rgbmap_f, w_concat = fused_march_fine(
+                x_new, keeps, d_concat.astype(jnp.float32), ranks, params,
+                num_keep=num_coarse // 2)
         acc_f = jnp.sum(w_concat, axis=-1, keepdims=True)
         rgb_f = rgbmap_f.at[:, :3].add((1.0 - acc_f) * bgf)
         depth_f = jnp.sum(w_concat * z_cat, axis=-1, keepdims=True)

@@ -12,6 +12,7 @@ from havatar_tpu.ops.upfirdn2d import (
 from havatar_tpu.ops.fused_act import fused_leaky_relu
 from havatar_tpu.ops.grid_sample import (
     grid_sample_2d,
+    grid_sample_2d_quad,
     grid_sample_3d,
     sample_from_triplane,
     sample_image_features,

@@ -106,6 +106,44 @@ def grid_sample_2d(
     return jnp.stack([one(feat[b], coords[b]) for b in range(B)], 0)
 
 
+def grid_sample_2d_quad(
+    feat: jnp.ndarray,
+    coords: jnp.ndarray,
+    padding_mode: str = "zeros",
+):
+    """The gather half of ``grid_sample_2d``: one quad-packed row fetch per
+    point, WITHOUT the corner reduction.
+
+    Returns (rows [B, N, 4C] in the feature dtype, w4 [B, N, 4] f32 corner
+    weights, ordered (y0x0, y0x1, y1x0, y1x1)). The bilinear value is
+    ``einsum('nkc,nk->nc', rows.reshape(N,4,C).astype(f32), w4)`` — the fused
+    march kernels (ops/pallas_march.py) perform exactly that reduction
+    in VMEM via lane slices, which removes the corner-einsum HBM round-trip
+    of the [N, 4C] gather output (docs/PERF.md round-3 lever)."""
+    assert padding_mode in ("zeros", "border")
+    B, H, W, C = feat.shape
+
+    def one(feat_hwc, coords_n2):
+        x = _unnormalize(coords_n2[:, 0], W)
+        y = _unnormalize(coords_n2[:, 1], H)
+        if padding_mode == "border":
+            x = jnp.clip(x, 0.0, W - 1)
+            y = jnp.clip(y, 0.0, H - 1)
+        x0, wx0, wx1 = _axis_weights(x, W)
+        y0, wy0, wy1 = _axis_weights(y, H)
+        p = feat_hwc
+        quad = jnp.stack(
+            [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2)
+        packed = quad.reshape((H - 1) * (W - 1), 4 * C)
+        row = jnp.take(packed, y0 * (W - 1) + x0, axis=0)
+        w4 = jnp.stack(
+            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+        return row, w4.astype(jnp.float32)
+
+    rows, ws = zip(*[one(feat[b], coords[b]) for b in range(B)])
+    return jnp.stack(rows, 0), jnp.stack(ws, 0)
+
+
 def grid_sample_3d(
     vol: jnp.ndarray,
     coords: jnp.ndarray,

@@ -42,6 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 # sized for the 16 MB v5e VMEM (a 64-ray coarse tile overflowed scoped vmem)
 TILE_RAYS_COARSE = 32
 TILE_RAYS_FINE = 32
+# the quad-consuming coarse kernel reads [TR, S, 8C] raw rows (4x the
+# pre-reduced input): a 32-ray tile hit 21.2 MB scoped vmem on hardware
+TILE_RAYS_COARSE_QUAD = 16
 
 
 def _field_params(params: Dict, cdt) -> Tuple:
@@ -106,10 +109,53 @@ def _cumprod_exclusive_lanes(om2):
     return c
 
 
+def _build_x_quad(q2, aux2, C, n_pe, cdt):
+    """Corner-reduce raw quad rows in VMEM and assemble the MLP input.
+
+    q2: [T, 8C] (XY quad row ++ ZY quad row, corner-major: k*C..(k+1)*C is
+    corner k's channels). aux2: [T, n_pe+8] f32 (posenc ++ w4_xy ++ w4_zy).
+    Returns [T, 2C+n_pe] in BLOCK order [xy, zy, posenc] — pair with the
+    permuted layer0 weights (``_perm_w0``). The reduction is 8 lane-slice
+    multiply-adds in f32 — the same math as grid_sample_2d's corner einsum,
+    relocated from an HBM round-trip into VMEM.
+    """
+    xy = sum(q2[:, k * C:(k + 1) * C].astype(jnp.float32)
+             * aux2[:, n_pe + k:n_pe + k + 1] for k in range(4))
+    zy = sum(q2[:, (4 + k) * C:(5 + k) * C].astype(jnp.float32)
+             * aux2[:, n_pe + 4 + k:n_pe + 5 + k] for k in range(4))
+    return jnp.concatenate(
+        [xy, zy, aux2[:, :n_pe]], axis=1).astype(cdt)
+
+
+def _perm_w0(w0, C, n_pe):
+    """Permute layer0's input rows from the reference's interleaved plane
+    channels (index c*2+p, model/nerf_model.py:99) to the kernel's block
+    order [xy (C), zy (C), posenc]."""
+    perm = ([2 * c for c in range(C)] + [2 * c + 1 for c in range(C)]
+            + list(range(2 * C, 2 * C + n_pe)))
+    return w0[jnp.asarray(perm)]
+
+
 def _coarse_kernel(x_ref, d_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
                    rgbmap_ref, w_ref, keep_ref):
     TR, S, fin = x_ref.shape
     x2 = x_ref[:].reshape(TR * S, fin)
+    _coarse_body(x2, TR, S, d_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
+                 rgbmap_ref, w_ref, keep_ref)
+
+
+def _coarse_kernel_quad(C, n_pe, q_ref, aux_ref, d_ref, w0, b0, w1, b1, wf,
+                        bf_, wa, ba, wr, br, rgbmap_ref, w_ref, keep_ref):
+    TR, S, _ = q_ref.shape
+    q2 = q_ref[:].reshape(TR * S, 8 * C)
+    aux2 = aux_ref[:].reshape(TR * S, n_pe + 8)
+    x2 = _build_x_quad(q2, aux2, C, n_pe, q_ref.dtype)
+    _coarse_body(x2, TR, S, d_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
+                 rgbmap_ref, w_ref, keep_ref)
+
+
+def _coarse_body(x2, TR, S, d_ref, w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
+                 rgbmap_ref, w_ref, keep_ref):
     rgb, feat, sigma = _mlp(x2, w0[:], b0[:], w1[:], b1[:], wf[:], bf_[:],
                             wa[:], ba[:], wr[:], br[:])
     cf = feat.shape[-1]
@@ -187,14 +233,84 @@ def fused_march_coarse(x: jnp.ndarray, dists: jnp.ndarray, params: Dict,
     return rgbmap, w, keeps
 
 
+def fused_march_coarse_quad(quads: jnp.ndarray, aux: jnp.ndarray,
+                            dists: jnp.ndarray, params: Dict,
+                            interpret: bool = None):
+    """Quad-consuming coarse march: the kernel reads RAW gathered quad rows
+    and does the bilinear corner reduction in VMEM (docs/PERF.md round-3:
+    removes the corner-einsum + MLP-input HBM round-trips; the gather itself
+    stays in XLA — grid_sample_2d_quad / field_inputs_quad).
+
+    quads: [R, S, 8C] (bf16) — XY quad row ++ ZY quad row per point.
+    aux:   [R, S, n_pe+8] f32 — posenc ++ w4_xy ++ w4_zy.
+    dists: [R, S] f32 (pre-scaled by ||rd||). Outputs identical in meaning to
+    ``fused_march_coarse``.
+    """
+    import functools
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, S, qc = quads.shape
+    C = qc // 8
+    n_pe = aux.shape[-1] - 8
+    TR = min(TILE_RAYS_COARSE_QUAD, R)
+    assert R % TR == 0, (R, TR)
+    ws = list(_field_params(params, quads.dtype))
+    ws[0] = _perm_w0(ws[0], C, n_pe)
+    cf = params["fc_rgbFeat"]["kernel"].shape[1]
+    S2 = S // 2
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((R, 3 + cf), jnp.float32),
+        jax.ShapeDtypeStruct((R, S), jnp.float32),
+        jax.ShapeDtypeStruct((R * S2, cf + 5), jnp.bfloat16),
+    )
+    out_specs = (
+        pl.BlockSpec((TR, 3 + cf), lambda i: (i, 0)),
+        pl.BlockSpec((TR, S), lambda i: (i, 0)),
+        pl.BlockSpec((TR * S2, cf + 5), lambda i: (i, 0)),
+    )
+    rgbmap, w, keeps = pl.pallas_call(
+        functools.partial(_coarse_kernel_quad, C, n_pe),
+        grid=(R // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, S, 8 * C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, S, n_pe + 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, S), lambda i: (i, 0)),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(quads, aux, dists, *ws)
+    return rgbmap, w, keeps
+
+
 def _fine_kernel(xn_ref, keep_ref, d_ref, r_ref, w0, b0, w1, b1, wf, bf_,
                  wa, ba, wr, br, rgbmap_ref, w_ref):
     TR, Sn, fin = xn_ref.shape
+    x2 = xn_ref[:].reshape(TR * Sn, fin)
+    _fine_body(x2, TR, Sn, keep_ref, d_ref, r_ref, w0, b0, w1, b1, wf, bf_,
+               wa, ba, wr, br, rgbmap_ref, w_ref)
+
+
+def _fine_kernel_quad(C, n_pe, qn_ref, auxn_ref, keep_ref, d_ref, r_ref,
+                      w0, b0, w1, b1, wf, bf_, wa, ba, wr, br,
+                      rgbmap_ref, w_ref):
+    TR, Sn, _ = qn_ref.shape
+    q2 = qn_ref[:].reshape(TR * Sn, 8 * C)
+    aux2 = auxn_ref[:].reshape(TR * Sn, n_pe + 8)
+    x2 = _build_x_quad(q2, aux2, C, n_pe, qn_ref.dtype)
+    _fine_body(x2, TR, Sn, keep_ref, d_ref, r_ref, w0, b0, w1, b1, wf, bf_,
+               wa, ba, wr, br, rgbmap_ref, w_ref)
+
+
+def _fine_body(x2, TR, Sn, keep_ref, d_ref, r_ref, w0, b0, w1, b1, wf, bf_,
+               wa, ba, wr, br, rgbmap_ref, w_ref):
     cf = wf.shape[-1]
     Sk = keep_ref.shape[0] // TR
     Sa = Sn + Sk
     rgb_n, feat_n, sig_n = _mlp(
-        xn_ref[:].reshape(TR * Sn, fin), w0[:], b0[:], w1[:], b1[:], wf[:],
+        x2, w0[:], b0[:], w1[:], b1[:], wf[:],
         bf_[:], wa[:], ba[:], wr[:], br[:])
 
     # unpack in 2D (lane slices/concats of rank-3 operands are
@@ -281,4 +397,54 @@ def fused_march_fine(x_new: jnp.ndarray, keeps: jnp.ndarray,
         out_shape=out_shapes,
         interpret=interpret,
     )(x_new, keeps, dists_concat, ranks.astype(jnp.float32), *ws)
+    return rgbmap, w
+
+
+def fused_march_fine_quad(q_new: jnp.ndarray, aux_new: jnp.ndarray,
+                          keeps: jnp.ndarray, dists_concat: jnp.ndarray,
+                          ranks: jnp.ndarray, params: Dict, num_keep: int,
+                          interpret: bool = None):
+    """Quad-consuming hierarchical pass (see ``fused_march_coarse_quad``).
+
+    q_new/aux_new: raw quad rows + (posenc ++ corner weights) of the NEW
+    samples only ([R, Sn, 8C] / [R, Sn, n_pe+8]); the rest as
+    ``fused_march_fine``.
+    """
+    import functools
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    R, Sn, qc = q_new.shape
+    C = qc // 8
+    n_pe = aux_new.shape[-1] - 8
+    Sk = num_keep
+    Sa = Sn + Sk
+    TR = min(TILE_RAYS_FINE, R)
+    assert R % TR == 0, (R, TR)
+    ws = list(_field_params(params, q_new.dtype))
+    ws[0] = _perm_w0(ws[0], C, n_pe)
+    cf = params["fc_rgbFeat"]["kernel"].shape[1]
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((R, 3 + cf), jnp.float32),
+        jax.ShapeDtypeStruct((R, Sa), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((TR, 3 + cf), lambda i: (i, 0)),
+        pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
+    )
+    rgbmap, w = pl.pallas_call(
+        functools.partial(_fine_kernel_quad, C, n_pe),
+        grid=(R // TR,),
+        in_specs=[
+            pl.BlockSpec((TR, Sn, 8 * C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR, Sn, n_pe + 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec((TR * Sk, cf + 5), lambda i: (i, 0)),
+            pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
+            pl.BlockSpec((TR, Sa), lambda i: (i, 0)),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(10)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q_new, aux_new, keeps, dists_concat, ranks.astype(jnp.float32), *ws)
     return rgbmap, w

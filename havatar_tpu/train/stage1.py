@@ -53,6 +53,9 @@ def build_renderer(cfg) -> AvatarRenderer:
         compute_dtype=cfg.models.get("compute_dtype", "float32"),
         render_size=cfg.models.StyleUnet.inp_size,
         cond_res=cfg.dataset.cond_render_res,
+        # fused Pallas field MLP (fwd AND bwd kernels — ops/pallas_mlp.py);
+        # TPU-only: the kernels don't run uncompiled off-TPU
+        use_pallas_mlp=bool(cfg.models.get("use_pallas_mlp", False)),
     )
 
 
@@ -90,14 +93,16 @@ def init_state(cfg, rng: jax.Array, num_frames: int,
                              latent_codes, opt_state)
 
 
-def make_train_step(model: AvatarRenderer, cfg,
-                    lpips_params: Optional[Any] = None):
-    """Returns a jitted train_step(state, batch, rng) -> (state, metrics)."""
+def make_loss_fn(model: AvatarRenderer, cfg,
+                 lpips_params: Optional[Any] = None):
+    """The stage-1 loss as a pure fn(trainable, buffers, batch, rng) ->
+    (loss, metrics). Public so sharding oracles (``__graft_entry__``) can
+    compare raw gradients — post-Adam params are scale-invariant on the
+    first step and would hide a wrong cross-device mean."""
     nerf_cfg = cfg.nerf.train
     mask_weight = cfg.experiment.mask_weight
     use_patch = bool(cfg.experiment.get("patch_rgb", False)) and lpips_params is not None
     use_l1 = cfg.experiment.rgb_loss != "mse"
-    opt = make_optimizer(cfg)
 
     def rgb_loss_fn(a, b):
         return (jnp.mean(jnp.abs(a - b)) if use_l1
@@ -159,6 +164,15 @@ def make_train_step(model: AvatarRenderer, cfg,
                         "sw_grad_loss": sw_loss,
                         "psnr": L.mse2psnr(psnr_mse)})
         return loss, metrics
+
+    return loss_fn
+
+
+def make_train_step(model: AvatarRenderer, cfg,
+                    lpips_params: Optional[Any] = None):
+    """Returns a jitted train_step(state, batch, rng) -> (state, metrics)."""
+    opt = make_optimizer(cfg)
+    loss_fn = make_loss_fn(model, cfg, lpips_params)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):

@@ -73,7 +73,8 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
-                    choices=["", "stage1", "stage2", "stage2_bf16"])
+                    choices=["", "stage1", "stage2", "stage2_bf16",
+                             "stage2_pallas_mlp"])
     flags = ap.parse_args()
 
     from havatar_tpu.cli.common import resolve_config
@@ -118,6 +119,15 @@ def main():
         _stage2_bf16(cfg2, rng2, batch2, example2, cpu, dev, res)
         print(json.dumps(res))
         return
+    if flags.only == "stage2_pallas_mlp":
+        # fused field-MLP kernels (fwd + custom_vjp bwd, ops/pallas_mlp.py)
+        # in the stage-2 fast step — round-3 training-throughput lever
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_pallas_mlp_s",
+                        set_cfg=lambda c: setattr(c.models, "use_pallas_mlp",
+                                                  True))
+        print(json.dumps(res))
+        return
     with jax.default_device(cpu):
         models, st2 = stage2.init_state(cfg2, rng2, num_frames=4,
                                         example_batch=example2)
@@ -150,6 +160,25 @@ def main():
         res["stage2_fused_dg_s"] + res["stage2_r1_s"] / 16, 4)
 
     print(json.dumps(res))
+
+
+def _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res, key,
+                    set_cfg, N=3):
+    """Time the fused dg fast step under a config mutation, in its own
+    process (two full stage-2 model sets do not fit a 16 GB chip)."""
+    from havatar_tpu.train import stage2
+
+    cfg2b = cfg2.clone()
+    set_cfg(cfg2b)
+    with jax.default_device(cpu):
+        models_b, st2b = stage2.init_state(cfg2b, rng2, num_frames=4,
+                                           example_batch=example2)
+    st2b = jax.device_put(st2b, dev)
+    batch2 = jax.device_put(batch2, dev)
+    d_b, r1_b, g_b, dg_b = stage2.make_steps(cfg2b, *models_b)
+    st2b, res[key] = scan_time(
+        lambda st, i: dg_b(st, batch2, jax.random.fold_in(rng2, 60 + i)),
+        st2b, n=N)
 
 
 def _stage2_bf16(cfg2, rng2, batch2, example2, cpu, dev, res, N=3):

@@ -95,6 +95,25 @@ def test_lpips_loss_scales_01_inputs():
     assert b > a
 
 
+def test_lpips_weight_file_roundtrip(tmp_path):
+    """The full import path the trainers use: convert_torch_lpips ->
+    save_lpips_file -> load_lpips_file -> lpips_loss. After this, the only
+    unexercised step is the real-weight download itself."""
+    sd, lin = _synthetic_vgg_state()
+    params = L.convert_torch_lpips(sd, lin)
+    path = str(tmp_path / "lpips_vgg.npz")
+    L.save_lpips_file(params, path)
+    loaded = L.load_lpips_file(path)
+    assert loaded is not None
+    x = np.random.RandomState(1).rand(1, 16, 16, 3).astype(np.float32)
+    y = np.random.RandomState(2).rand(1, 16, 16, 3).astype(np.float32)
+    a = float(L.lpips_loss(params, jnp.asarray(x), jnp.asarray(y)))
+    b = float(L.lpips_loss(loaded, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    # absent file -> None (the trainers gate the perceptual term on this)
+    assert L.load_lpips_file(str(tmp_path / "missing.npz")) is None
+
+
 def test_lpips_matches_real_package():
     lpips_pkg = pytest.importorskip("lpips")
     ref = lpips_pkg.LPIPS(net="vgg", spatial=False)

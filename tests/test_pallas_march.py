@@ -184,6 +184,74 @@ def test_fine_kernel_exact_with_f32_keeps():
                                atol=1e-3, rtol=1e-3)
 
 
+def _interleave_planes(xy, zy):
+    """[R, S, C] x2 -> [R, S, 2C] in the reference channel order c*2+p
+    (model/nerf_model.py:99) that the plain kernels' layer0 expects."""
+    R, S, C = xy.shape
+    return jnp.stack([xy, zy], axis=-1).reshape(R, S, 2 * C)
+
+
+def test_quad_kernels_match_plain_kernels():
+    """The quad-consuming kernels (raw gather rows + in-kernel corner
+    reduction + permuted layer0) must equal the plain kernels fed the
+    pre-reduced interleaved input — same math, relocated."""
+    from havatar_tpu.ops.pallas_march import (
+        fused_march_coarse_quad,
+        fused_march_fine_quad,
+    )
+
+    rng = np.random.RandomState(7)
+    R, S, C, n_pe = 64, 8, 64, 48
+    fin = 2 * C + n_pe
+    p = _params(rng, fin)
+
+    def mk(Sx):
+        quads = jnp.asarray(rng.randn(R, Sx, 8 * C).astype(np.float32))
+        pe = rng.randn(R, Sx, n_pe).astype(np.float32)
+        w8 = rng.rand(R, Sx, 8).astype(np.float32)
+        aux = jnp.asarray(np.concatenate([pe, w8], -1))
+        # the XLA-side reduction the quad kernel replaces
+        q4 = quads.reshape(R, Sx, 8, C)
+        xy = jnp.einsum("rskc,rsk->rsc", q4[:, :, :4], aux[..., n_pe:n_pe + 4])
+        zy = jnp.einsum("rskc,rsk->rsc", q4[:, :, 4:], aux[..., n_pe + 4:])
+        x = jnp.concatenate([_interleave_planes(xy, zy), aux[..., :n_pe]], -1)
+        return quads, aux, x
+
+    quads, aux, x = mk(S)
+    z = jnp.sort(jnp.asarray(rng.rand(R, S).astype(np.float32) * 2 + 1), -1)
+    rd = jnp.asarray(rng.randn(R, 3).astype(np.float32))
+    dists = jnp.diff(z, axis=-1)
+    dists = jnp.concatenate([dists, dists[..., -1:]], -1)
+    dists = dists * jnp.linalg.norm(rd, axis=-1, keepdims=True)
+
+    want = fused_march_coarse(x, dists, p, interpret=True)
+    got = fused_march_coarse_quad(quads, aux, dists, p, interpret=True)
+    # keeps are stored bf16: the in-kernel sequential corner adds vs the
+    # test's einsum reduction differ in f32 association order, which can
+    # flip a bf16 rounding boundary (1 ulp) on ~0.1% of elements
+    for g, w, name, tol in zip(got, want, ("rgbmap", "weights", "keeps"),
+                               (1e-5, 1e-5, 5e-3)):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   atol=tol, rtol=2 * tol, err_msg=name)
+
+    # fine pass: new samples through the quad path
+    Sn, Sk = 4, S // 2
+    Sa = Sn + Sk
+    qn, auxn, xn = mk(Sn)
+    keeps = want[2]
+    ranks = jnp.asarray(
+        np.stack([rng.permutation(Sa) for _ in range(R)]).astype(np.int32))
+    d_concat = jnp.asarray(rng.rand(R, Sa).astype(np.float32))
+    want_f = fused_march_fine(xn, keeps, d_concat, ranks, p, num_keep=Sk,
+                              interpret=True)
+    got_f = fused_march_fine_quad(qn, auxn, keeps, d_concat, ranks, p,
+                                  num_keep=Sk, interpret=True)
+    for g, w, name in zip(got_f, want_f, ("rgbmap", "weights")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-5, rtol=1e-4, err_msg=name)
+
+
 def test_renderer_fused_path_matches_xla_path():
     """AvatarRenderer(use_pallas_march=True) == the XLA path (perturb/noise
     off) to bf16-keep tolerance, via the real module tree on CPU."""

@@ -85,7 +85,15 @@ def test_stage2_checkpoint_file_and_inference_loader(tmp_path,
 
 
 @pytest.mark.slow
-def test_stage2_checkpoint_file_pixel_parity(tmp_path, reference_modules):
+@pytest.mark.parametrize("num_coarse,num_fine", [
+    (8, 4),     # fast integration geometry (~1 min)
+    (64, 16),   # PRODUCTION sampling depth (singleview_512_base.yml:116-118):
+                # 128² rays x 80 samples — the strongest asset-free
+                # approximation of the 0.1 dB parity budget (accumulated f32
+                # association error across the full sample count)
+])
+def test_stage2_checkpoint_file_pixel_parity(tmp_path, reference_modules,
+                                             num_coarse, num_fine):
     """The full file->inference chain produces the reference's pixels:
     torch latest.pt -> load_inference_weights -> make_reenact_fn vs the
     reference Trainer->SWGAN_unet chain (avatarHD_reenactment.py:151-170),
@@ -126,6 +134,9 @@ def test_stage2_checkpoint_file_pixel_parity(tmp_path, reference_modules):
     zero_noise = [torch.zeros(1, 1, 2 ** ((i + 8) // 2), 2 ** ((i + 8) // 2))
                   for i in range(g.num_layers)]
 
+    # the reference trainer reads sampling depth from its cfg at call time
+    trainer.cfg.nerf.validation.num_coarse = num_coarse
+    trainer.cfg.nerf.validation.num_fine = num_fine
     trainer.headpose_skin_net.fix_canonical_W()
     trainer.eval(), g.eval()
     with torch.no_grad():
@@ -148,7 +159,8 @@ def test_stage2_checkpoint_file_pixel_parity(tmp_path, reference_modules):
                               "XYZ_bounding": [[-1.5, 1.5], [-1.6, 1.4], [-1.6, 1.2]]}},
         "dataset": {"cond_render_res": 256},
         "gan": {"latent": 64, "n_mlp": 4, "channel_multiplier": 2},
-        "nerf": {"validation": {"num_coarse": 8, "num_fine": 4,
+        "nerf": {"validation": {"num_coarse": num_coarse,
+                                "num_fine": num_fine,
                                 "perturb": False,
                                 "radiance_field_noise_std": 0.0}},
     })
