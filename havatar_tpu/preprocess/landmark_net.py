@@ -183,6 +183,10 @@ def upsample_align_corners(x, size: Tuple[int, int]):
 
     B, H, W, C = x.shape
     oh, ow = size
+    if H == 1 and W == 1:
+        # degenerate source (the gaze net's 1² bottleneck): every output
+        # pixel is the single source value
+        return jnp.broadcast_to(x, (B, oh, ow, C))
     ys = jnp.linspace(-1.0, 1.0, oh)
     xs = jnp.linspace(-1.0, 1.0, ow)
     gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
@@ -334,6 +338,81 @@ def convert_torch_detection_model(state_dict, size: str = "large",
     params["up2"] = _ds_head_old1_params(sd, "up2.conv.conv")
     params["up3"] = _ds_head_old1_params(sd, "up3.conv.conv")
     params["group"] = _ds_head_old1_params(sd, "group.conv")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Gaze/eye net (OpenSeeFaceGaze, model.py:144-175): MobileNetV3-SMALL
+# backbone on 32² eye crops, THREE UNetUp stages back to 8², "old=2" DSConv2d
+# heads (dw -> pw, biases, NO activation), grouped 3-channel output
+# (conf / x-offset / y-offset heatmaps at 8²).
+# ---------------------------------------------------------------------------
+
+def ds_head_old2(x, p, groups_pw: int):
+    """DSConv2d old=2 (model.py:106-110): dw3x3 (+bias) -> grouped pw 1x1
+    (+bias), no BN, no activation."""
+    h = conv2d(x, p["dw_w"], p["dw_b"], groups=x.shape[-1])
+    return conv2d(h, p["pw_w"], p["pw_b"], groups=groups_pw)
+
+
+def unet_up_old2(x, skip, p, size: Tuple[int, int]):
+    x = upsample_align_corners(x, size)
+    return ds_head_old2(jnp.concatenate([skip, x], axis=-1), p, groups_pw=1)
+
+
+def apply_gaze_net(params: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """[B, 32, 32, 3] preprocessed eye crops -> [B, 8, 8, 3] maps
+    (confidence ++ x-offset ++ y-offset logits).
+
+    Forward spec: OpenSeeFaceGaze._forward_impl (model.py:154-172): taps
+    after stages 0 (16ch, 8²), 1 (24ch, 4²), 3 (48ch, 2²); head 576ch 1².
+    """
+    table = _SMALL
+    h = hard_swish(conv2d(x, params["stem"]["w"], params["stem"]["b"],
+                          stride=2))
+    skips = {}
+    for si, stage in enumerate(table):
+        for bi, spec in enumerate(stage):
+            h = _block(h, params["blocks"][f"{si}_{bi}"], spec)
+        if si == 0:
+            skips["r1"] = h
+        if si == 1:
+            skips["r2"] = h
+        if si == 3:
+            skips["r3"] = h
+    h = unet_up_old2(h, skips["r3"], params["up1"], (2, 2))
+    h = unet_up_old2(h, skips["r2"], params["up2"], (4, 4))
+    h = unet_up_old2(h, skips["r1"], params["up3"], (8, 8))
+    return ds_head_old2(h, params["group"], groups_pw=3)
+
+
+def _ds_head_old2_params(sd, prefix):
+    """DSConv2d old=2 Sequential: 0=dw conv (+bias), 1=pw conv (+bias)."""
+    dw_w, dw_b = _plain(np.asarray(sd[f"{prefix}.0.weight"]),
+                        np.asarray(sd[f"{prefix}.0.bias"]))
+    pw_w, pw_b = _plain(np.asarray(sd[f"{prefix}.1.weight"]),
+                        np.asarray(sd[f"{prefix}.1.bias"]))
+    return {"dw_w": dw_w, "dw_b": dw_b, "pw_w": pw_w, "pw_b": pw_b}
+
+
+def convert_torch_gaze_model(state_dict) -> Dict[str, Any]:
+    """torch-port OpenSeeFaceGaze state_dict (geffnet layout,
+    models_pytorch/model.py:144-153) -> BN-folded pytree."""
+    sd = {k: (v.numpy() if hasattr(v, "numpy") else np.asarray(v))
+          for k, v in state_dict.items()}
+    params: Dict[str, Any] = {}
+    w, b = _fold_bn(sd["conv_stem.weight"], _bn(sd, "bn1"))
+    params["stem"] = {"w": w, "b": b}
+    blocks: Dict[str, Any] = {}
+    for si, stage in enumerate(_SMALL):
+        for bi, spec in enumerate(stage):
+            blocks[f"{si}_{bi}"] = _convert_block(sd, f"blocks.{si}.{bi}",
+                                                  spec)
+    params["blocks"] = blocks
+    params["up1"] = _ds_head_old2_params(sd, "up1.conv.conv")
+    params["up2"] = _ds_head_old2_params(sd, "up2.conv.conv")
+    params["up3"] = _ds_head_old2_params(sd, "up3.conv.conv")
+    params["group"] = _ds_head_old2_params(sd, "group.conv")
     return params
 
 

@@ -21,8 +21,9 @@ weights; ``JaxTracker.from_weights`` wires the jitted JAX nets
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -39,11 +40,130 @@ class FaceResult:
     lms: np.ndarray                       # [66, 3] (y, x, conf)
     bbox: Tuple[float, float, float, float]  # (y1, x1, h, w) — tracker.py:1148
     success: bool = True
+    # (2, 4) rows [open, eye_y, eye_x, conf] — reference tracker.py:926-991;
+    # default when no gaze net is wired (tracker.py:928-929)
+    eye_state: Optional[np.ndarray] = None
+    # 14 smoothed expression features (tracker_features.FeatureExtractor)
+    features: Optional[Dict[str, float]] = None
 
 
 def _clamp_to_im(x: float, y: float, w: int, h: int) -> Tuple[int, int]:
     """spec: tracker.py clamp_to_im — clamp a point into the image."""
     return int(min(max(x, 0), w - 1)), int(min(max(y, 0), h - 1))
+
+
+# ---------------------------------------------------------------------------
+# Eye/gaze extraction (spec: reference tracker.py:873-991): crop a roll-
+# compensated box around each eye's corner landmarks, run the 32² gaze net
+# on both crops, decode the 8² heatmap peak + logit offsets, and map the
+# pupil back through flip -> scale -> rotation -> face/frame offsets.
+# ---------------------------------------------------------------------------
+
+_DEFAULT_EYE = np.array([[1.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]],
+                        np.float32)
+
+
+def _rotate_pt(origin, point, a: float):
+    a = -a
+    ox, oy = origin
+    px, py = point
+    return (ox + math.cos(a) * (px - ox) - math.sin(a) * (py - oy),
+            oy + math.sin(a) * (px - ox) + math.cos(a) * (py - oy))
+
+
+def _angle(p1, p2) -> float:
+    d = np.asarray(p2, np.float64) - np.asarray(p1, np.float64)
+    return float(np.arctan2(d[1], d[0]) % (2.0 * math.pi))
+
+
+def _logit(p: float, factor: float) -> float:
+    p = min(max(float(p), 1e-7), 1.0 - 1e-7)
+    return math.log(p / (1.0 - p)) / factor
+
+
+def _extract_face(frame_rgb: np.ndarray, lms_yx: np.ndarray):
+    """Tight 1.2x-margin face crop; returns (crop, local (x,y) lms, offset)
+    (spec: tracker.py:910-924)."""
+    xy = np.asarray(lms_yx)[:, 0:2][:, ::-1]
+    lo, hi = xy.min(0), xy.max(0)
+    radius = 1.2 * (hi - lo) / 2.0
+    center = (lo + hi) / 2.0
+    H, W = frame_rgb.shape[:2]
+    x1, y1 = _clamp_to_im(*(center - radius), W, H)
+    x2, y2 = _clamp_to_im(*(center + radius + 1), W, H)
+    offset = np.array((x1, y1))
+    local = (xy - offset).astype(np.int64)
+    return frame_rgb[y1:y2, x1:x2], local, offset
+
+
+def _corners_to_eye(c1, c2, w: int, h: int):
+    """Roll-compensated eye box from the two corner landmarks
+    (spec: tracker.py:873-884)."""
+    a = _angle(c1, c2)
+    c2r = np.array(_rotate_pt(tuple(c1), tuple(c2), a))
+    center = (np.asarray(c1, np.float64) + c2r) / 2.0
+    r = np.linalg.norm(np.asarray(c1, np.float64) - c2r) / 2.0
+    radius = np.array([r * 1.4, r * 1.2])
+    x1, y1 = _clamp_to_im(*(center - radius), w, h)
+    x2, y2 = _clamp_to_im(*(center + radius), w, h)
+    return (x1, y1), (x2, y2), np.asarray(c1, np.float64), a
+
+
+def _prepare_eye(face_rgb: np.ndarray, corners_xy: np.ndarray, flip: bool):
+    """One eye -> (normalized [32, 32, 3] crop with x/y axes SWAPPED — the
+    reference feeds NCWH, tracker.py:908 — plus un-mapping params)
+    (spec: tracker.py:886-909)."""
+    import cv2
+
+    h, w = face_rgb.shape[:2]
+    (x1, y1), (x2, y2), ref, a = _corners_to_eye(
+        corners_xy[0], corners_xy[1], w, h)
+    M = cv2.getRotationMatrix2D((float(ref[0]), float(ref[1])),
+                                np.rad2deg(a), 1.0)
+    im = cv2.warpAffine(face_rgb, M, (w, h))[int(y1):int(y2), int(x1):int(x2)]
+    if np.prod(im.shape) < 1:
+        return None, None, None, None, None
+    if flip:
+        im = cv2.flip(im, 1)
+    scale = np.array([(x2 - x1), (y2 - y1)]) / 32.0
+    im = L.preprocess_crop(im, res=32)[0]
+    return im.transpose(1, 0, 2), (x1, y1), scale, ref, a
+
+
+def get_eye_state(frame_rgb: np.ndarray, lms_yx: np.ndarray,
+                  gaze_fn: Callable[[np.ndarray], np.ndarray]) -> np.ndarray:
+    """[H, W, 3] RGB + 66-pt (y, x, conf) landmarks -> (2, 4) eye states
+    [open, pupil_y, pupil_x, conf] in frame pixels (right eye first)
+    (spec: tracker.py:926-991; ``open`` is pinned to 1.0 as in the
+    reference, :950-951)."""
+    face, local, offset = _extract_face(frame_rgb, lms_yx)
+    right = _prepare_eye(face, local[[36, 39]].astype(np.float64), False)
+    left = _prepare_eye(face, local[[42, 45]].astype(np.float64), True)
+    if right[0] is None or left[0] is None:
+        return _DEFAULT_EYE.copy()
+    both = np.stack([right[0], left[0]])
+    maps = np.asarray(gaze_fn(both))                    # [2, 8, 8, 3]
+
+    out = []
+    for i, (im, exy, scale, ref, a) in enumerate((right, left)):
+        conf_map = maps[i, :, :, 0]
+        m = int(conf_map.argmax())
+        gx, gy = m // 8, m % 8
+        conf = float(conf_map[gx, gy])
+        off_x = 32.0 * _logit(maps[i, gx, gy, 1], 8.0)
+        off_y = 32.0 * _logit(maps[i, gx, gy, 2], 8.0)
+        eye_x = 32.0 * gx / 8.0 + off_x
+        eye_y = 32.0 * gy / 8.0 + off_y
+        if i == 1:   # the left crop was mirrored before the net
+            eye_x = 32.0 - eye_x
+        eye_x = exy[0] + scale[0] * eye_x
+        eye_y = exy[1] + scale[1] * eye_y
+        eye_x, eye_y = _rotate_pt(ref, (eye_x, eye_y), -a)
+        out.append([1.0, eye_y + offset[1], eye_x + offset[0], conf])
+
+    out = np.array(out, np.float32)
+    out[np.isnan(out).any(axis=1)] = _DEFAULT_EYE[0]
+    return out
 
 
 @dataclass
@@ -64,14 +184,20 @@ class JaxTracker:
     discard_after: int = 5
     bbox_growth: float = 0.0
     model_type: int = 3
+    # optional eye/gaze net ([2, 32, 32, 3] swapped-axis crops -> [2, 8, 8,
+    # 3] maps) and temporal feature smoothing (tracker_features)
+    gaze_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
+    extract_features: bool = False
 
     faces: List[Tuple[float, float, float, float]] = field(default_factory=list)
     discard: int = 0
     frame_count: int = 0
+    _feature_extractor: Optional[object] = None
 
     @classmethod
     def from_weights(cls, width: int, height: int, lm_weights: str,
                      detect_weights: Optional[str] = None,
+                     gaze_weights: Optional[str] = None,
                      model_type: int = 3, **kw) -> "JaxTracker":
         import jax
 
@@ -81,6 +207,14 @@ class JaxTracker:
 
         def lm_fn(crop):
             return np.asarray(lm_apply(crop)[0])
+
+        if gaze_weights is not None:
+            import torch
+
+            gz_params = L.convert_torch_gaze_model(
+                torch.load(gaze_weights, map_location="cpu"))
+            gz_apply = jax.jit(lambda x: L.apply_gaze_net(gz_params, x))
+            kw.setdefault("gaze_fn", lambda x: np.asarray(gz_apply(x)))
 
         if detect_weights is not None:
             import torch
@@ -162,6 +296,22 @@ class JaxTracker:
             y1b, x1b, hb, wb = best.bbox
             self.faces = [(x1b, y1b, wb, hb)]
             self.discard = 0
+            if self.gaze_fn is not None:
+                best.eye_state = get_eye_state(frame_rgb, best.lms,
+                                               self.gaze_fn)
+            if self.extract_features:
+                from havatar_tpu.preprocess.tracker_features import (
+                    FeatureExtractor,
+                )
+
+                if self._feature_extractor is None:
+                    self._feature_extractor = FeatureExtractor()
+                # image-plane (x, y) points; the reference feeds the
+                # PnP-lifted pts_3d[:, :2] (tracker.py:477) — the smoothing
+                # semantics are identical, the head-pose normalization of
+                # the standalone PnP stage is out of this driver's scope
+                pts_xy = best.lms[:66, 0:2][:, ::-1]
+                best.features = self._feature_extractor.update(pts_xy)
             return [best]
 
         # miss: keep (optionally grown) box for a few frames, then re-detect
