@@ -65,6 +65,55 @@ def fit_video_frames(model, frames_lms: np.ndarray, intr, cfg,
     return np.stack(out_coeffs), losses, state
 
 
+# mediapipe topology rings used by the reference's landmark-counter debug
+# image (facts of the mediapipe mesh; spec: fit_videos_mp.py:306-325)
+_OUTER_MOUTH = [0, 267, 269, 270, 409, 291, 375, 321, 405, 314, 17, 84, 181,
+                91, 146, 76, 185, 40, 39, 37]
+_INNER_MOUTH = [13, 312, 311, 310, 415, 308, 324, 318, 402, 317, 14, 87, 178,
+                88, 95, 78, 191, 80, 81, 82]
+_LEFT_EYE = [33, 246, 161, 160, 159, 158, 157, 173, 133, 155, 154, 153, 145,
+             144, 163, 7]
+_RIGHT_EYE = [362, 398, 384, 385, 386, 387, 388, 466, 263, 249, 390, 373,
+              374, 380, 381, 382]
+
+
+def draw_lms_counter(img: np.ndarray, lms_proj: np.ndarray) -> np.ndarray:
+    """Landmark-contour debug image: mouth rings (blue, 4px), eye rings
+    (green, 2px), pupils (red dots) — spec: fit_videos_mp.py:306-325."""
+    import cv2
+
+    pts = np.round(lms_proj).astype(np.int32)
+    out = cv2.polylines(img.copy(), [pts[_OUTER_MOUTH]], True, (255, 0, 0), 4)
+    out = cv2.polylines(out, [pts[_INNER_MOUTH]], True, (255, 0, 0), 4)
+    out = cv2.polylines(out, [pts[_LEFT_EYE]], True, (0, 255, 0), 2)
+    out = cv2.polylines(out, [pts[_RIGHT_EYE]], True, (0, 255, 0), 2)
+    out = cv2.circle(out, (pts[473, 0], pts[473, 1]), 4, [0, 0, 255], -1)
+    out = cv2.circle(out, (pts[468, 0], pts[468, 1]), 4, [0, 0, 255], -1)
+    return out
+
+
+def render_fvmask(model, coeffs: np.ndarray, intr, tar_size: int) -> np.ndarray:
+    """Silhouette of the fitted FaceVerse mesh: coverage of the perspective-
+    projected triangles (spec: fit_videos_mp.py:268-271 — nonzero-render
+    mask), rasterized as filled polygons in pixel space."""
+    import cv2
+    import jax.numpy as jnp
+
+    from havatar_tpu.preprocess import faceverse as fv
+
+    id_c, exp_c, _, angles, _, trans, eye_c, scale = fv.split_coeffs(
+        jnp.asarray(coeffs[None]), model.exp_dims)
+    rot = fv.euler_rotation(angles)
+    vs = fv.get_vs(model, id_c, exp_c, eye_c)
+    vs_t = fv.rigid_transform(vs, rot, trans, jnp.abs(scale))
+    proj = np.asarray(fv.project_points(
+        vs_t, intr[0], intr[1], intr[2], intr[3]))[0]
+    tris = np.round(proj[np.asarray(model.tri)]).astype(np.int32)
+    mask = np.zeros((tar_size, tar_size), np.uint8)
+    cv2.fillPoly(mask, list(tris), 255)
+    return mask
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--videos_root", type=str, required=True,
@@ -79,6 +128,14 @@ def main() -> None:
     p.add_argument("--iters_rest", type=int, default=100)
     p.add_argument("--focal", type=float, default=4.2647,
                    help="EG3D-style normalized focal (fit_videos_mp.py:372)")
+    p.add_argument("--save_fvmask", type=str, default=None,
+                   help="also save per-frame mesh silhouette masks under "
+                        "save_root/{video}/<save_fvmask>/ "
+                        "(spec: fit_videos_mp.py:268-271)")
+    p.add_argument("--save_lmscounter", type=str, default=None,
+                   help="also save landmark-contour debug images under "
+                        "save_root/{video}/<save_lmscounter>/ "
+                        "(spec: fit_videos_mp.py:273-278)")
     args = p.parse_args()
 
     import cv2
@@ -133,6 +190,20 @@ def main() -> None:
             head_T = np.asarray(fitting.head_transform_matrix(state, True))
             extr_T = np.asarray(fitting.head_transform_matrix(state, False))
             save_frame_assets(sdir, fid, c, head_T, extr_T, extr_T)
+            if args.save_fvmask:
+                mdir = os.path.join(sdir, args.save_fvmask)
+                os.makedirs(mdir, exist_ok=True)
+                cv2.imwrite(os.path.join(mdir, f"{fid}.png"),
+                            render_fvmask(model, c, intr, args.tar_size))
+            if args.save_lmscounter:
+                ldir = os.path.join(sdir, args.save_lmscounter)
+                os.makedirs(ldir, exist_ok=True)
+                lms_proj = np.asarray(fv.forward_landmarks(
+                    model, jnp.asarray(c[None]), intr[0], intr[1], intr[2],
+                    intr[3])[0])[0]
+                black = np.zeros((args.tar_size, args.tar_size, 3), np.uint8)
+                cv2.imwrite(os.path.join(ldir, f"{fid}.png"),
+                            draw_lms_counter(black, lms_proj)[:, :, ::-1])
         open(os.path.join(sdir, "finish"), "w").close()
         print(f"{name}: {len(frame_names)} frames, "
               f"final lm loss {losses[-1]:.5f}")

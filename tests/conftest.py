@@ -25,6 +25,15 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: compiles dominate this suite's wall time on
+# the 1-core CI host (the slow tier's CLI subprocesses recompile the same
+# graphs every run). The cache is cross-process — CLI tests inherit it via
+# the environment (subprocesses are launched with env=dict(os.environ, ...)).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/havatar_jax_cache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -254,3 +254,32 @@ def test_render_chunked_matches_unchunked():
                                np.asarray(full["rgb_fine"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(chunked["acc_coarse"]),
                                np.asarray(full["acc_coarse"]), atol=1e-5)
+
+
+def test_fit_videos_batch_debug_outputs(tmp_path):
+    """fvmask / lmscounter debug artifacts (spec: fit_videos_mp.py:268-278):
+    silhouette mask covers the projected mesh; contour image draws the
+    mouth/eye rings + pupils."""
+    import numpy as np
+
+    from havatar_tpu.cli import fit_videos_batch as B
+    from havatar_tpu.preprocess import faceverse as fv
+    from tests.test_fit_video_e2e import make_fake_faceverse
+
+    fv_path = str(tmp_path / "fv.npy")
+    make_fake_faceverse(fv_path)
+    model = fv.load_model_file(fv_path)
+
+    coeffs = np.zeros((610,), np.float32)
+    coeffs[-1] = 1.0                     # scale
+    coeffs[606] = 0.0
+    intr = np.asarray([256.0, 256.0, 64.0, 64.0], np.float32)
+
+    mask = B.render_fvmask(model, coeffs, intr, tar_size=128)
+    assert mask.shape == (128, 128) and mask.dtype == np.uint8
+    assert (mask == 255).any()           # mesh covers some pixels
+
+    lms = np.random.RandomState(0).rand(478, 2).astype(np.float32) * 100 + 10
+    img = B.draw_lms_counter(np.zeros((128, 128, 3), np.uint8), lms)
+    assert img.any()                     # something was drawn
+    assert img.shape == (128, 128, 3)
