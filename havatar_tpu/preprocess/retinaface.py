@@ -188,6 +188,25 @@ class JaxRetinaFaceDetector:
         self.top_k = top_k
         self._apply = jax.jit(lambda x: apply_retinaface(params, x))
 
+    @classmethod
+    def from_onnx(cls, path: str, **kw) -> "JaxRetinaFaceDetector":
+        """Weight-exact construction from the reference's shipped
+        retinaface_640x640_opt.onnx, executed by preprocess/onnx_rt.py
+        (outputs: loc [1,N,4], conf [1,N,2], landms — the reference consumes
+        the first two, retinaface.py:96-97)."""
+        from havatar_tpu.preprocess.onnx_rt import OnnxModel
+
+        model = OnnxModel(path)
+        det = cls.__new__(cls)
+        det.res_w, det.res_h = 640, 640
+        det.priorbox = make_priorbox((640, 640))
+        det.min_conf = kw.get("min_conf", 0.4)
+        det.nms_threshold = kw.get("nms_threshold", 0.4)
+        det.top_k = kw.get("top_k", 1)
+        det._apply = jax.jit(lambda x: model(
+            jnp.transpose(x, (0, 3, 1, 2)))[:2])
+        return det
+
     def detect(self, frame_rgb: np.ndarray) -> List[Tuple[float, ...]]:
         import cv2
 

@@ -234,6 +234,59 @@ class JaxTracker:
         return cls(width=width, height=height, detect_fn=detect_fn,
                    lm_fn=lm_fn, model_type=model_type, **kw)
 
+    @classmethod
+    def from_onnx(cls, width: int, height: int, models_dir: str,
+                  model_type: int = 0, use_gaze: bool = True,
+                  **kw) -> "JaxTracker":
+        """Build the tracker from the reference's ORIGINAL .onnx blobs
+        (OpenSeeFace/models), executed by the in-repo JAX ONNX runtime
+        (preprocess/onnx_rt.py) — weight-exact with the reference tracker,
+        no onnxruntime dependency. The blobs are NCHW; the driver's NHWC
+        convention is adapted here."""
+        import os
+
+        import jax
+        import jax.numpy as jnp
+
+        from havatar_tpu.preprocess.onnx_rt import OnnxModel
+
+        lm = OnnxModel(os.path.join(models_dir,
+                                    f"lm_model{model_type}_opt.onnx"))
+        lm_j = jax.jit(lambda x: lm(jnp.transpose(x, (0, 3, 1, 2))))
+
+        def lm_fn(crop):
+            return np.asarray(lm_j(jnp.asarray(crop)))[0].transpose(1, 2, 0)
+
+        det_path = os.path.join(models_dir, "mnv3_detection_opt.onnx")
+        if os.path.exists(det_path):
+            det = OnnxModel(det_path)
+            det_j = jax.jit(lambda x: det(jnp.transpose(x, (0, 3, 1, 2))))
+
+            def detect_fn(im):
+                maps, mp = det_j(jnp.asarray(im[None]))
+                return (np.asarray(maps)[0].transpose(1, 2, 0),
+                        np.asarray(mp)[0].transpose(1, 2, 0))
+        else:
+            def detect_fn(im):
+                return None, None
+
+        gaze_path = os.path.join(models_dir, "mnv3_gaze32_split_opt.onnx")
+        if use_gaze and os.path.exists(gaze_path):
+            gz = OnnxModel(gaze_path)
+            # crops arrive [2, 32(x), 32(y), 3] (axis-swapped, see
+            # _prepare_eye) -> ONNX [2, 3, 32(x), 32(y)]; output
+            # [2, 3, 8, 8] -> [2, 8(x), 8(y), 3] for get_eye_state
+            gz_j = jax.jit(lambda x: gz(jnp.transpose(x, (0, 3, 1, 2)))[0])
+
+            def gaze_fn(crops):
+                return np.asarray(gz_j(jnp.asarray(crops))).transpose(
+                    0, 2, 3, 1)
+
+            kw.setdefault("gaze_fn", gaze_fn)
+
+        return cls(width=width, height=height, detect_fn=detect_fn,
+                   lm_fn=lm_fn, model_type=model_type, **kw)
+
     # ---- internals --------------------------------------------------------
 
     def _detect_faces(self, frame_rgb: np.ndarray) -> np.ndarray:

@@ -1,0 +1,141 @@
+"""JAX ONNX runtime (preprocess/onnx_rt.py): wire-format parsing + op
+execution. Op-level oracles use torch-exported ONNX graphs where torch can
+export without the onnx package — it can't, so ops are tested against
+torch.nn.functional directly through hand-built OnnxNode graphs; the parser
+is tested on the reference's REAL shipped blobs (read-only assets), and the
+executor end-to-end by running them (slow tier)."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from havatar_tpu.preprocess.onnx_rt import OnnxGraph, OnnxModel, OnnxNode, _run_node
+
+MODELS = "/root/reference/data_preprocessing/OpenSeeFace/models"
+
+
+def run1(op, inputs, attrs=None, n_out=1):
+    node = OnnxNode(op, [f"i{k}" for k in range(len(inputs))],
+                    [f"o{k}" for k in range(n_out)], attrs or {})
+    vals = {f"i{k}": v for k, v in enumerate(inputs)}
+    _run_node(node, vals)
+    outs = [np.asarray(vals[f"o{k}"]) for k in range(n_out)]
+    return outs[0] if n_out == 1 else outs
+
+
+def test_conv_op_matches_torch():
+    torch.manual_seed(0)
+    x = torch.randn(1, 6, 13, 13)
+    w = torch.randn(8, 3, 3, 3)
+    b = torch.randn(8)
+    want = F.conv2d(x, w, b, stride=2, padding=1, groups=2).numpy()
+    got = run1("Conv", [jnp.asarray(x.numpy()), w.numpy(), b.numpy()],
+               {"strides": [2, 2], "pads": [1, 1, 1, 1], "group": 2})
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_conv_clip():
+    torch.manual_seed(1)
+    x = torch.randn(1, 4, 8, 8)
+    w = torch.randn(4, 4, 1, 1)
+    want = torch.clamp(F.conv2d(x, w), 0.0, 6.0).numpy()
+    got = run1("FusedConv", [jnp.asarray(x.numpy()), w.numpy(), None],
+               {"activation": "Clip", "activation_params": [0.0, 6.0]})
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_pool_ops_match_torch():
+    torch.manual_seed(2)
+    x = torch.randn(1, 3, 14, 14)
+    want = F.max_pool2d(x, 3, 2, 1).numpy()
+    got = run1("MaxPool", [jnp.asarray(x.numpy())],
+               {"kernel_shape": [3, 3], "strides": [2, 2],
+                "pads": [1, 1, 1, 1]})
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    want = F.avg_pool2d(x, 2, 2).numpy()
+    got = run1("AveragePool", [jnp.asarray(x.numpy())],
+               {"kernel_shape": [2, 2], "strides": [2, 2]})
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    want = x.mean(dim=(2, 3), keepdim=True).numpy()
+    got = run1("GlobalAveragePool", [jnp.asarray(x.numpy())])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resize_nearest_matches_torch():
+    torch.manual_seed(3)
+    x = torch.randn(1, 2, 5, 7)
+    want = F.interpolate(x, scale_factor=2, mode="nearest").numpy()
+    got = run1("Resize", [jnp.asarray(x.numpy()), None,
+                          np.asarray([1.0, 1.0, 2.0, 2.0], np.float32)],
+               {"mode": "nearest"})
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_misc_ops():
+    x = np.random.RandomState(4).randn(2, 3, 4, 4).astype(np.float32)
+    np.testing.assert_allclose(
+        run1("HardSwish", [jnp.asarray(x)]),
+        torch.nn.functional.hardswish(torch.tensor(x)).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        run1("Softmax", [jnp.asarray(x)], {"axis": 1}),
+        torch.softmax(torch.tensor(x), dim=1).numpy(), atol=1e-6)
+    got = run1("Slice", [jnp.asarray(x), np.asarray([1]), np.asarray([3]),
+                         np.asarray([1]), np.asarray([1])])
+    np.testing.assert_allclose(got, x[:, 1:3], atol=0)
+    a, b = run1("Split", [jnp.asarray(x)], {"axis": 1, "split": [1, 2]},
+                n_out=2)
+    np.testing.assert_allclose(a, x[:, :1], atol=0)
+    np.testing.assert_allclose(b, x[:, 1:], atol=0)
+
+
+def test_parse_real_models():
+    """The parser reads every shipped blob: shapes, ops, initializers."""
+    m = OnnxModel(os.path.join(MODELS, "retinaface_640x640_opt.onnx"))
+    assert m.input_names == ["input0"]
+    assert len(m.graph.initializers) > 50
+    assert "Conv" in m.ops_used() or "FusedConv" in m.ops_used()
+    m2 = OnnxModel(os.path.join(MODELS, "lm_model0_opt.onnx"))
+    assert m2.graph.input_shapes["input"][1:] == [3, 224, 224]
+
+
+@pytest.mark.slow
+def test_real_tracker_weights_end_to_end():
+    """JaxTracker.from_onnx drives the reference's ACTUAL shipped weights
+    (landmark + detection + gaze) through predict on a synthetic image —
+    weight-exact parity capability with the reference tracker, no
+    onnxruntime."""
+    from havatar_tpu.preprocess.tracker import JaxTracker
+
+    tr = JaxTracker.from_onnx(224, 224, MODELS, model_type=0,
+                              extract_features=True, threshold=None)
+    rng = np.random.RandomState(0)
+    frame = (rng.rand(224, 224, 3) * 80).astype(np.uint8)
+    frame[60:170, 60:170] = 190          # bright square "face"
+    res = tr.predict(frame)
+    assert len(res) == 1
+    r = res[0]
+    assert r.lms.shape == (66, 3) and np.isfinite(r.lms).all()
+    assert r.eye_state is not None and r.eye_state.shape == (2, 4)
+    assert np.isfinite(r.eye_state).all()
+    assert r.features is not None and len(r.features) == 14
+
+
+@pytest.mark.slow
+def test_real_retinaface_weights_run():
+    """The shipped RetinaFace blob runs through the decode/NMS pipeline."""
+    from havatar_tpu.preprocess.retinaface import JaxRetinaFaceDetector
+
+    det = JaxRetinaFaceDetector.from_onnx(
+        os.path.join(MODELS, "retinaface_640x640_opt.onnx"), min_conf=0.05)
+    rng = np.random.RandomState(1)
+    frame = (rng.rand(240, 320, 3) * 255).astype(np.uint8)
+    out = det.detect(frame)           # may be empty on noise; must not crash
+    assert isinstance(out, list)
+    for box in out:
+        assert len(box) == 4 and np.isfinite(box).all()
