@@ -45,6 +45,14 @@ class FaceResult:
     eye_state: Optional[np.ndarray] = None
     # 14 smoothed expression features (tracker_features.FeatureExtractor)
     features: Optional[Dict[str, float]] = None
+    # PnP head pose (preprocess/headpose.py; reference tracker.py:762-858)
+    quaternion: Optional[np.ndarray] = None
+    euler: Optional[np.ndarray] = None
+    rotation: Optional[np.ndarray] = None
+    translation: Optional[np.ndarray] = None
+    pnp_error: Optional[float] = None
+    pts_3d: Optional[np.ndarray] = None        # [70, 3] lifted landmarks
+    eye_blink: Optional[list] = None
 
 
 def _clamp_to_im(x: float, y: float, w: int, h: int) -> Tuple[int, int]:
@@ -188,11 +196,17 @@ class JaxTracker:
     # 3] maps) and temporal feature smoothing (tracker_features)
     gaze_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
     extract_features: bool = False
+    # PnP head pose + personal-face adaptation (preprocess/headpose.py);
+    # with extract_features, features then come from the normalized lifted
+    # 3D points as in the reference (tracker.py:477-485)
+    estimate_pose: bool = False
+    static_model: bool = False
 
     faces: List[Tuple[float, float, float, float]] = field(default_factory=list)
     discard: int = 0
     frame_count: int = 0
     _feature_extractor: Optional[object] = None
+    _pose: Optional[object] = None
 
     @classmethod
     def from_weights(cls, width: int, height: int, lm_weights: str,
@@ -352,6 +366,24 @@ class JaxTracker:
             if self.gaze_fn is not None:
                 best.eye_state = get_eye_state(frame_rgb, best.lms,
                                                self.gaze_fn)
+            if self.estimate_pose:
+                from havatar_tpu.preprocess.headpose import HeadPoseEstimator
+
+                if self._pose is None:
+                    self._pose = HeadPoseEstimator(self.width, self.height)
+                es = (best.eye_state if best.eye_state is not None
+                      else _DEFAULT_EYE)
+                ok, quat, euler, err, pts_3d, _ = self._pose.estimate(
+                    best.lms[:66].astype(np.float64), es)
+                if ok:
+                    best.quaternion, best.euler = quat, np.asarray(euler)
+                    best.pnp_error = float(err)
+                    best.rotation = self._pose.rotation
+                    best.translation = self._pose.translation
+                    self._pose.adjust(best.lms[:66], best.conf, best.euler,
+                                      best.pnp_error,
+                                      static_model=self.static_model)
+                    best.pts_3d = self._pose.normalize_pts3d(pts_3d)
             if self.extract_features:
                 from havatar_tpu.preprocess.tracker_features import (
                     FeatureExtractor,
@@ -359,12 +391,19 @@ class JaxTracker:
 
                 if self._feature_extractor is None:
                     self._feature_extractor = FeatureExtractor()
-                # image-plane (x, y) points; the reference feeds the
-                # PnP-lifted pts_3d[:, :2] (tracker.py:477) — the smoothing
-                # semantics are identical, the head-pose normalization of
-                # the standalone PnP stage is out of this driver's scope
-                pts_xy = best.lms[:66, 0:2][:, ::-1]
-                best.features = self._feature_extractor.update(pts_xy)
+                if best.pts_3d is not None:
+                    # the reference path: normalized PnP-lifted points
+                    # (tracker.py:477-480)
+                    feats = self._feature_extractor.update(
+                        best.pts_3d[:, 0:2])
+                    best.eye_blink = [
+                        1 - min(max(0, -feats["eye_r"]), 1),
+                        1 - min(max(0, -feats["eye_l"]), 1)]
+                else:
+                    # image-plane fallback when pose estimation is off
+                    feats = self._feature_extractor.update(
+                        best.lms[:66, 0:2][:, ::-1])
+                best.features = feats
             return [best]
 
         # miss: keep (optionally grown) box for a few frames, then re-detect
