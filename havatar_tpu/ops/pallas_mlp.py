@@ -179,6 +179,11 @@ def _fused_mlp_bwd_impl(x, g, params, interpret=False, tile=TILE):
     g [N, rgb+feat+1]."""
     N, fin = x.shape
     cdt = x.dtype
+    if jnp.dtype(cdt).itemsize >= 4:
+        # f32 training path: the bf16-sized tile holds x + g + recomputed
+        # activations + weight-grad accumulators at 2x the bytes and
+        # overflows the 16 MB scoped VMEM (measured 21.1 MB on hardware)
+        tile = min(tile, 1024)
     hid = params["layer0"]["kernel"].shape[1]
     cf = params["fc_rgbFeat"]["kernel"].shape[1]
     out_rgb = params["fc_rgb"]["kernel"].shape[1]

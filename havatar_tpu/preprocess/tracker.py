@@ -60,6 +60,36 @@ def _clamp_to_im(x: float, y: float, w: int, h: int) -> Tuple[int, int]:
     return int(min(max(x, 0), w - 1)), int(min(max(y, 0), h - 1))
 
 
+def _intersects(r1, r2, amount: float = 0.3) -> bool:
+    """Overlap-fraction test for crop-group merging
+    (spec: tracker.py:56-80 — intersection / (union) >= amount)."""
+    x1, y1, w1, h1 = r1
+    x2, y2, w2, h2 = r2
+    left, right = max(x1, x2), min(x1 + w1, x2 + w2)
+    top, bottom = max(y1, y2), min(y1 + h1, y2 + h2)
+    total = w1 * h1 + w2 * h2
+    inter = 0.0
+    if left < right and top < bottom:
+        inter = (right - left) * (bottom - top)
+        total -= inter
+    return total > 0 and inter / total >= amount
+
+
+def _group_rects(rects) -> Dict[int, int]:
+    """index -> group id; overlapping rects share a group
+    (spec: tracker.py:85-104)."""
+    groups = {}
+    gid = 0
+    for i, rect in enumerate(rects):
+        if i not in groups:
+            groups[i] = gid
+            gid += 1
+        for j, other in enumerate(rects):
+            if i != j and _intersects(rect, other):
+                groups[j] = groups[i]
+    return groups
+
+
 # ---------------------------------------------------------------------------
 # Eye/gaze extraction (spec: reference tracker.py:873-991): crop a roll-
 # compensated box around each eye's corner landmarks, run the 32² gaze net
@@ -175,6 +205,16 @@ def get_eye_state(frame_rgb: np.ndarray, lms_yx: np.ndarray,
 
 
 @dataclass
+class _FaceSlot:
+    """Persistent per-face state: slot identity survives across frames via
+    nearest-centroid matching (spec: FaceInfo, tracker.py:328+)."""
+
+    coord: Optional[np.ndarray] = None
+    features: Optional[object] = None     # FeatureExtractor
+    pose: Optional[object] = None         # HeadPoseEstimator
+
+
+@dataclass
 class JaxTracker:
     """detect_fn: [224,224,3] RGB float (normalized) -> ([56,56,2] maps,
     [56,56,2] maxpool). lm_fn: [1,224,224,3] normalized crop ->
@@ -201,12 +241,29 @@ class JaxTracker:
     # 3D points as in the reference (tracker.py:477-485)
     estimate_pose: bool = False
     static_model: bool = False
+    # multi-face tracking (spec: tracker.py:1034-1215). The reference fans
+    # crops over a thread pool of ONNX sessions; here the landmark net is
+    # BATCHED over the crop axis (one [F, 224, 224, 3] program) — the
+    # TPU-native formulation. Faces keep stable slot ids via nearest-
+    # centroid matching (assign_face_info, tracker.py:992-1032); when a
+    # slot count is below max_faces the detector re-scans every
+    # ``scan_every`` frames (tracker.py:1060-1071).
+    max_faces: int = 1
+    scan_every: int = 3
+    # optional [F, 224, 224, 3] -> [F, 28, 28, 198] batched landmark net;
+    # falls back to looping lm_fn when absent
+    lm_batch_fn: Optional[Callable[[np.ndarray], np.ndarray]] = None
 
     faces: List[Tuple[float, float, float, float]] = field(default_factory=list)
     discard: int = 0
     frame_count: int = 0
-    _feature_extractor: Optional[object] = None
-    _pose: Optional[object] = None
+    wait_count: int = 0
+    _slots: Optional[list] = None
+
+    def _slot(self, i: int):
+        if self._slots is None:
+            self._slots = [_FaceSlot() for _ in range(self.max_faces)]
+        return self._slots[i]
 
     @classmethod
     def from_weights(cls, width: int, height: int, lm_weights: str,
@@ -221,6 +278,9 @@ class JaxTracker:
 
         def lm_fn(crop):
             return np.asarray(lm_apply(crop)[0])
+
+        kw.setdefault("lm_batch_fn",
+                      lambda crops: np.asarray(lm_apply(crops)))
 
         if gaze_weights is not None:
             import torch
@@ -271,6 +331,11 @@ class JaxTracker:
         def lm_fn(crop):
             return np.asarray(lm_j(jnp.asarray(crop)))[0].transpose(1, 2, 0)
 
+        kw.setdefault(
+            "lm_batch_fn",
+            lambda crops: np.asarray(lm_j(jnp.asarray(crops)))
+            .transpose(0, 2, 3, 1))
+
         det_path = os.path.join(models_dir, "mnv3_detection_opt.onnx")
         if os.path.exists(det_path):
             det = OnnxModel(det_path)
@@ -303,7 +368,8 @@ class JaxTracker:
 
     # ---- internals --------------------------------------------------------
 
-    def _detect_faces(self, frame_rgb: np.ndarray) -> np.ndarray:
+    def _detect_faces(self, frame_rgb: np.ndarray,
+                      max_faces: int = 1) -> np.ndarray:
         """Run the 224² detection net; (x, y, w, h) boxes in frame pixels
         (spec: tracker.py:705-729). Falls back to a whole-frame box when no
         detector is wired (the landmark net's conf then gates it)."""
@@ -313,7 +379,7 @@ class JaxTracker:
             return np.array(
                 [[0.0, 0.0, self.width, self.height]], np.float32)
         return L.decode_detections(
-            maps, mp, (self.height, self.width), max_faces=1,
+            maps, mp, (self.height, self.width), max_faces=max_faces,
             threshold=self.detection_threshold)
 
     def _crop_region(self, box) -> Optional[Tuple[int, int, int, int]]:
@@ -330,10 +396,69 @@ class JaxTracker:
             return None
         return x1, y1, x2, y2
 
+    def _decode_crop_batch(self, frame_rgb, regions):
+        """Run the landmark net over all candidate crops at once and decode.
+        Returns [(conf, lms, region), ...]."""
+        crops = np.concatenate(
+            [L.preprocess_crop(frame_rgb[y1:y2, x1:x2], res=224)
+             for (x1, y1, x2, y2) in regions], axis=0)
+        if self.lm_batch_fn is not None:
+            hms = np.asarray(self.lm_batch_fn(crops))
+        else:
+            hms = np.stack([self.lm_fn(crops[i:i + 1])
+                            for i in range(crops.shape[0])])
+        out = []
+        for hm, (x1, y1, x2, y2) in zip(hms, regions):
+            conf, lms = L.decode_landmarks(
+                hm, crop_info=(x1, y1, (x2 - x1) / 224.0,
+                               (y2 - y1) / 224.0))
+            out.append((conf, lms, (x1, y1, x2, y2)))
+        return out
+
+    def _attach_extras(self, frame_rgb, face: FaceResult, slot) -> None:
+        """Eye state, head pose, and smoothed features for one face, using
+        the given slot's persistent state."""
+        if self.gaze_fn is not None:
+            face.eye_state = get_eye_state(frame_rgb, face.lms, self.gaze_fn)
+        if self.estimate_pose:
+            from havatar_tpu.preprocess.headpose import HeadPoseEstimator
+
+            if slot.pose is None:
+                slot.pose = HeadPoseEstimator(self.width, self.height)
+            es = (face.eye_state if face.eye_state is not None
+                  else _DEFAULT_EYE)
+            ok, quat, euler, err, pts_3d, _ = slot.pose.estimate(
+                face.lms[:66].astype(np.float64), es)
+            if ok:
+                face.quaternion, face.euler = quat, np.asarray(euler)
+                face.pnp_error = float(err)
+                face.rotation = slot.pose.rotation
+                face.translation = slot.pose.translation
+                slot.pose.adjust(face.lms[:66], face.conf, face.euler,
+                                 face.pnp_error,
+                                 static_model=self.static_model)
+                face.pts_3d = slot.pose.normalize_pts3d(pts_3d)
+        if self.extract_features:
+            from havatar_tpu.preprocess.tracker_features import (
+                FeatureExtractor,
+            )
+
+            if slot.features is None:
+                slot.features = FeatureExtractor()
+            if face.pts_3d is not None:
+                feats = slot.features.update(face.pts_3d[:, 0:2])
+                face.eye_blink = [1 - min(max(0, -feats["eye_r"]), 1),
+                                  1 - min(max(0, -feats["eye_l"]), 1)]
+            else:
+                feats = slot.features.update(face.lms[:66, 0:2][:, ::-1])
+            face.features = feats
+
     # ---- main API ---------------------------------------------------------
 
     def predict(self, frame_rgb: np.ndarray) -> List[FaceResult]:
-        """[H, W, 3] uint8 RGB -> tracked faces (0 or 1)."""
+        """[H, W, 3] uint8 RGB -> tracked faces (up to max_faces)."""
+        if self.max_faces > 1:
+            return self._predict_multi(frame_rgb)
         self.frame_count += 1
         candidates = list(self.faces)
         if not candidates:
@@ -363,47 +488,7 @@ class JaxTracker:
             y1b, x1b, hb, wb = best.bbox
             self.faces = [(x1b, y1b, wb, hb)]
             self.discard = 0
-            if self.gaze_fn is not None:
-                best.eye_state = get_eye_state(frame_rgb, best.lms,
-                                               self.gaze_fn)
-            if self.estimate_pose:
-                from havatar_tpu.preprocess.headpose import HeadPoseEstimator
-
-                if self._pose is None:
-                    self._pose = HeadPoseEstimator(self.width, self.height)
-                es = (best.eye_state if best.eye_state is not None
-                      else _DEFAULT_EYE)
-                ok, quat, euler, err, pts_3d, _ = self._pose.estimate(
-                    best.lms[:66].astype(np.float64), es)
-                if ok:
-                    best.quaternion, best.euler = quat, np.asarray(euler)
-                    best.pnp_error = float(err)
-                    best.rotation = self._pose.rotation
-                    best.translation = self._pose.translation
-                    self._pose.adjust(best.lms[:66], best.conf, best.euler,
-                                      best.pnp_error,
-                                      static_model=self.static_model)
-                    best.pts_3d = self._pose.normalize_pts3d(pts_3d)
-            if self.extract_features:
-                from havatar_tpu.preprocess.tracker_features import (
-                    FeatureExtractor,
-                )
-
-                if self._feature_extractor is None:
-                    self._feature_extractor = FeatureExtractor()
-                if best.pts_3d is not None:
-                    # the reference path: normalized PnP-lifted points
-                    # (tracker.py:477-480)
-                    feats = self._feature_extractor.update(
-                        best.pts_3d[:, 0:2])
-                    best.eye_blink = [
-                        1 - min(max(0, -feats["eye_r"]), 1),
-                        1 - min(max(0, -feats["eye_l"]), 1)]
-                else:
-                    # image-plane fallback when pose estimation is off
-                    feats = self._feature_extractor.update(
-                        best.lms[:66, 0:2][:, ::-1])
-                best.features = feats
+            self._attach_extras(frame_rgb, best, self._slot(0))
             return [best]
 
         # miss: keep (optionally grown) box for a few frames, then re-detect
@@ -417,3 +502,111 @@ class JaxTracker:
             self.faces = [(x - w * g, y - h * g,
                            w + 2 * w * g, h + 2 * h * g)]
         return []
+
+    # ---- multi-face path (spec: tracker.py:1034-1215) ---------------------
+
+    def _predict_multi(self, frame_rgb: np.ndarray) -> List[FaceResult]:
+        self.frame_count += 1
+        self.wait_count += 1
+        detected = len(self.faces)
+        candidates = [(tuple(b), 0.1) for b in self.faces]   # tracked bonus
+        if detected == 0:
+            candidates += [(tuple(b), 0.0)
+                           for b in self._detect_faces(frame_rgb,
+                                                       self.max_faces)]
+            self.wait_count = 0
+        elif detected < self.max_faces and self.wait_count >= self.scan_every:
+            candidates += [(tuple(b), 0.0)
+                           for b in self._detect_faces(frame_rgb,
+                                                       self.max_faces)]
+            self.wait_count = 0
+
+        regions, bonuses = [], []
+        for box, bonus in candidates:
+            region = self._crop_region(box)
+            if region is not None:
+                regions.append(region)
+                bonuses.append(bonus)
+        if not regions:
+            self._register_miss()
+            return []
+
+        decoded = self._decode_crop_batch(frame_rgb, regions)
+
+        # landmark-extent bboxes (x, y, w, h) -> overlap groups -> best
+        # (conf + tracked-bonus) per group (tracker.py:1144-1167)
+        entries = []
+        for (conf, lms, region), bonus in zip(decoded, bonuses):
+            if self.threshold is not None and conf <= self.threshold:
+                continue
+            ymin, xmin = lms[:66, 0].min(), lms[:66, 1].min()
+            ymax, xmax = lms[:66, 0].max(), lms[:66, 1].max()
+            bb = (xmin, ymin, xmax - xmin, ymax - ymin)
+            entries.append({"conf": conf, "lms": lms, "bb": bb,
+                            "bonus": bonus})
+        if not entries:
+            self._register_miss()
+            return []
+        groups = _group_rects([e["bb"] for e in entries])
+        best_per_group: Dict[int, dict] = {}
+        for i, e in enumerate(entries):
+            g = groups[i]
+            cur = best_per_group.get(g)
+            if cur is None or cur["conf"] + cur["bonus"] < e["conf"] + e["bonus"]:
+                best_per_group[g] = e
+        winners = sorted(best_per_group.values(),
+                         key=lambda e: e["conf"] + e["bonus"],
+                         reverse=True)[: self.max_faces]
+
+        # nearest-centroid slot assignment (assign_face_info,
+        # tracker.py:992-1032): greedy over (distance, slot, result)
+        coords = [e["lms"][:66, 0:2].mean(0) for e in winners]
+        max_dist = 2 * np.linalg.norm([self.width, self.height])
+        pairs = []
+        for si in range(self.max_faces):
+            slot = self._slot(si)
+            for ri, c in enumerate(coords):
+                d = (max_dist if slot.coord is None
+                     else float(np.linalg.norm(slot.coord - c)))
+                pairs.append((d, si, ri))
+        pairs.sort()
+        used_slots, used_results = set(), set()
+        assign = {}
+        for d, si, ri in pairs:
+            if si in used_slots or ri in used_results:
+                continue
+            assign[ri] = si
+            used_slots.add(si)
+            used_results.add(ri)
+
+        results = []
+        new_boxes = []
+        for ri, e in enumerate(winners):
+            si = assign[ri]
+            slot = self._slot(si)
+            slot.coord = coords[ri]
+            lms = e["lms"]
+            ymin, xmin = lms[:66, 0].min(), lms[:66, 1].min()
+            ymax, xmax = lms[:66, 0].max(), lms[:66, 1].max()
+            face = FaceResult(conf=float(e["conf"]), lms=lms,
+                              bbox=(ymin, xmin, ymax - ymin, xmax - xmin))
+            self._attach_extras(frame_rgb, face, slot)
+            results.append((si, face))
+            new_boxes.append((xmin, ymin, xmax - xmin, ymax - ymin))
+
+        if new_boxes:
+            self.faces = new_boxes
+            self.discard = 0
+        else:
+            self._register_miss()
+        # stable order: by slot id (the reference sorts by face_info.id)
+        return [f for _, f in sorted(results, key=lambda p: p[0])]
+
+    def _register_miss(self) -> None:
+        self.discard += 1
+        if self.discard > self.discard_after:
+            self.faces = []
+        elif self.bbox_growth > 0:
+            g = self.bbox_growth
+            self.faces = [(x - w * g, y - h * g, w + 2 * w * g,
+                           h + 2 * h * g) for (x, y, w, h) in self.faces]

@@ -276,3 +276,87 @@ def test_tracker_predict_returns_eye_state_and_features():
     assert res[0].features is not None and len(res[0].features) == 14
     res2 = tr.predict(frame)          # smoothing state carries across frames
     assert len(res2) == 1 and len(res2[0].features) == 14
+
+
+def test_multi_face_tracking_with_stable_slots():
+    """max_faces=2: two synthetic faces tracked simultaneously with stable
+    slot identity across frames (the reference fans crops over threads;
+    here the landmark net is batched over the crop axis)."""
+    H = W = 256
+
+    # two face regions; the fake landmark net reads WHICH crop it got from
+    # the crop's mean brightness and emits a distinct landmark cluster
+    def make_lm_hm(cx, cy):
+        hm = np.zeros((28, 28, 198), np.float32)
+        for i in range(66):
+            y = int(np.clip(cy + (i % 8) - 4, 0, 27))
+            x = int(np.clip(cx + (i // 8) - 4, 0, 27))
+            hm[y, x, i] = 8.0
+            hm[y, x, 66 + i] = 0.5
+            hm[y, x, 132 + i] = 0.5
+        return hm
+
+    def lm_fn(crop):
+        bright = crop[0].mean() > 0.0
+        return make_lm_hm(14, 14) if bright else make_lm_hm(10, 10)
+
+    def detect_fn(im):
+        # two confident, separated peaks in the 56x56 detection map
+        maps = np.zeros((56, 56, 2), np.float32)
+        for (y, x) in ((14, 14), (38, 38)):
+            maps[y, x, 0] = 0.95
+            maps[y, x, 1] = 0.18          # radius channel
+        mp = maps.copy()
+        return maps, mp
+
+    tr = T.JaxTracker(width=W, height=H, detect_fn=detect_fn, lm_fn=lm_fn,
+                      max_faces=2, threshold=None, extract_features=True)
+    rng = np.random.RandomState(3)
+    frame = (rng.rand(H, W, 3) * 40).astype(np.uint8)
+    frame[140:220, 140:220] = 220        # brighter second face
+
+    res1 = tr.predict(frame)
+    assert len(res1) == 2
+    assert all(r.lms.shape == (66, 3) for r in res1)
+    assert all(r.features is not None for r in res1)
+    # distinct faces: landmark centroids differ
+    c0 = res1[0].lms[:66, :2].mean(0)
+    c1 = res1[1].lms[:66, :2].mean(0)
+    assert np.linalg.norm(c0 - c1) > 5
+
+    # second frame: same faces -> same slot order (stable identity)
+    res2 = tr.predict(frame)
+    assert len(res2) == 2
+    d00 = np.linalg.norm(res2[0].lms[:66, :2].mean(0) - c0)
+    d01 = np.linalg.norm(res2[0].lms[:66, :2].mean(0) - c1)
+    assert d00 < d01          # slot 0 stayed on face 0
+
+
+def test_multi_face_merges_overlapping_candidates():
+    """Overlapping candidate crops that decode to the same face collapse
+    into one result (group_rects semantics, tracker.py:1150-1167)."""
+    H = W = 128
+
+    def lm_fn(crop):
+        hm = np.zeros((28, 28, 198), np.float32)
+        for i in range(66):
+            y, x = 10 + (i % 8), 10 + (i // 8)
+            hm[y, x, i] = 8.0
+            hm[y, x, 66 + i] = 0.5
+            hm[y, x, 132 + i] = 0.5
+        return hm
+
+    def detect_fn(im):
+        maps = np.zeros((56, 56, 2), np.float32)
+        # two overlapping detections of one face (1 cell apart -> the
+        # decoded landmark bboxes overlap well past the 0.3 merge cut)
+        for (y, x) in ((20, 20), (21, 20)):
+            maps[y, x, 0] = 0.9
+            maps[y, x, 1] = 0.2
+        return maps, maps.copy()
+
+    tr = T.JaxTracker(width=W, height=H, detect_fn=detect_fn, lm_fn=lm_fn,
+                      max_faces=2, threshold=None)
+    frame = np.full((H, W, 3), 128, np.uint8)
+    res = tr.predict(frame)
+    assert len(res) == 1          # merged, not duplicated
