@@ -1,22 +1,22 @@
-"""Single-face tracking driver over the JAX OpenSeeFace nets.
+"""Face tracking driver over the JAX OpenSeeFace nets.
 
 Behavioral spec: ``Tracker.predict`` (reference
-data_preprocessing/OpenSeeFace/tracker.py:1034-1215) in the role the havatar
-pipeline uses it for (fit_video.py:585-595 initial crop;
-fit_videos_mp.py:142-145 per-frame face presence): detect a face with the
+data_preprocessing/OpenSeeFace/tracker.py:1034-1215): detect faces with the
 detection net when nothing is tracked, crop with the reference's margins
 (tracker.py:1084-1087), run the landmark net, and on success carry the
-landmark bounding box forward as the next frame's crop — re-detecting after
-``discard_after`` consecutive misses (tracker.py:1188-1204).
+landmark bounding boxes forward as the next frame's crops — re-detecting
+after ``discard_after`` consecutive misses (tracker.py:1188-1204). The full
+capability set is covered: eye/gaze state (get_eye_state), temporal feature
+smoothing (tracker_features), PnP head pose + personal-face adaptation
+(headpose), and multi-face tracking with stable slot identity — where the
+reference fans crops over a thread pool of ONNX sessions
+(tracker.py:1123-1166), the landmark net here is BATCHED over the crop axis
+(one [F, 224, 224, 3] program), the TPU-native formulation.
 
-Single face only: the pipeline constructs ``Tracker(max_faces=1..4)`` but
-consumes exactly ``preds[0]`` (fit_video.py:595, fit_videos_mp.py:143), so
-the multi-face thread pool and crop-group merging (tracker.py:1123-1166) are
-out of scope — documented, not rebuilt.
-
-The two nets are injected as callables so the driver is testable without
+The nets are injected as callables so the driver is testable without
 weights; ``JaxTracker.from_weights`` wires the jitted JAX nets
-(preprocess/landmark_net.py).
+(preprocess/landmark_net.py) and ``from_onnx`` executes the reference's
+original .onnx blobs via preprocess/onnx_rt.py (weight-exact).
 """
 
 from __future__ import annotations
@@ -403,7 +403,17 @@ class JaxTracker:
             [L.preprocess_crop(frame_rgb[y1:y2, x1:x2], res=224)
              for (x1, y1, x2, y2) in regions], axis=0)
         if self.lm_batch_fn is not None:
-            hms = np.asarray(self.lm_batch_fn(crops))
+            # pad the crop batch to a power of two: the jitted batched net
+            # then compiles at most log2(max candidates) distinct shapes
+            n = crops.shape[0]
+            m = 1
+            while m < n:
+                m *= 2
+            if m > n:
+                crops = np.concatenate(
+                    [crops, np.zeros((m - n,) + crops.shape[1:],
+                                     crops.dtype)], 0)
+            hms = np.asarray(self.lm_batch_fn(crops))[:n]
         else:
             hms = np.stack([self.lm_fn(crops[i:i + 1])
                             for i in range(crops.shape[0])])
