@@ -243,6 +243,10 @@ def _auto_pad(attrs, kh, kw):
     return [(pads[0], pads[2]), (pads[1], pads[3])]
 
 
+def _np_like(v) -> bool:
+    return isinstance(v, (np.ndarray, np.generic, int, float, list, tuple))
+
+
 def _run_node(node: OnnxNode, vals: Dict[str, Any]):
     import jax
     import jax.numpy as jnp
@@ -251,6 +255,11 @@ def _run_node(node: OnnxNode, vals: Dict[str, Any]):
     op = node.op_type
     a = node.attrs
     x = [vals[n] if n else None for n in node.inputs]
+    # shape-plumbing stays in NUMPY: under jit, jnp ops are staged even on
+    # concrete operands (jax>=0.8 traces everything), which would turn
+    # static Shape->Slice->Concat chains into tracers and break the static
+    # sizes that Conv/Resize/Reshape need
+    all_np = all(v is None or _np_like(v) for v in x)
 
     def out(v):
         vals[node.outputs[0]] = v
@@ -306,7 +315,7 @@ def _run_node(node: OnnxNode, vals: Dict[str, Any]):
     elif op == "HardSwish":
         out(x[0] * jnp.clip(x[0] / 6.0 + 0.5, 0.0, 1.0))
     elif op in ("Add", "Sum"):
-        out(x[0] + x[1])
+        out(x[0] + x[1])  # np+np stays np; mixed promotes to jax
     elif op == "Sub":
         out(x[0] - x[1])
     elif op == "Mul":
@@ -371,7 +380,11 @@ def _run_node(node: OnnxNode, vals: Dict[str, Any]):
                 out(jax.image.resize(
                     xin, (xin.shape[0], xin.shape[1], oh, ow), method))
     elif op == "Concat":
-        out(jnp.concatenate([v for v in x], axis=a["axis"]))
+        if all_np:
+            out(np.concatenate([np.asarray(v) for v in x], axis=a["axis"]))
+        else:
+            out(jnp.concatenate([jnp.asarray(v) for v in x],
+                                axis=a["axis"]))
     elif op == "Reshape":
         shape = [int(s) for s in np.asarray(x[1])]
         cur = x[0]
@@ -431,23 +444,30 @@ def _run_node(node: OnnxNode, vals: Dict[str, Any]):
     elif op == "Shape":
         out(np.asarray(x[0].shape, np.int64))
     elif op == "Gather":
-        idx = np.asarray(x[1])
-        out(jnp.take(jnp.asarray(x[0]), jnp.asarray(idx),
-                     axis=a.get("axis", 0)))
+        if all_np:
+            out(np.take(np.asarray(x[0]), np.asarray(x[1]),
+                        axis=a.get("axis", 0)))
+        else:
+            out(jnp.take(jnp.asarray(x[0]), jnp.asarray(np.asarray(x[1])),
+                         axis=a.get("axis", 0)))
     elif op == "Unsqueeze":
         axes = a.get("axes") or [int(v) for v in np.asarray(x[1])]
         y = x[0]
+        expand = np.expand_dims if all_np else jnp.expand_dims
         for ax in sorted(axes):
-            y = jnp.expand_dims(y, ax)
+            y = expand(y, ax)
         out(y)
     elif op == "Squeeze":
         axes = a.get("axes") or ([int(v) for v in np.asarray(x[1])]
                                  if len(x) > 1 and x[1] is not None else None)
         out(jnp.squeeze(x[0], axis=tuple(axes) if axes else None))
     elif op == "Cast":
-        onnx_to = {1: jnp.float32, 6: jnp.int32, 7: jnp.int64,
-                   10: jnp.float16, 11: jnp.float64}[a["to"]]
-        out(jnp.asarray(x[0]).astype(onnx_to))
+        onnx_to = {1: np.float32, 6: np.int32, 7: np.int64,
+                   10: np.float16, 11: np.float64}[a["to"]]
+        if all_np:
+            out(np.asarray(x[0]).astype(onnx_to))
+        else:
+            out(jnp.asarray(x[0]).astype(onnx_to))
     elif op == "Constant":
         out(a["value"])
     elif op == "Identity":
