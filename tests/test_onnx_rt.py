@@ -108,8 +108,12 @@ def test_parse_real_models():
 def test_real_tracker_weights_end_to_end():
     """JaxTracker.from_onnx drives the reference's ACTUAL shipped weights
     (landmark + detection + gaze) through predict on a synthetic image —
-    weight-exact parity capability with the reference tracker, no
-    onnxruntime."""
+    weight-exact execution capability with the reference tracker, no
+    onnxruntime. The real detection net (correctly) scores the synthetic
+    square near zero, so its blob is asserted to execute with valid maps,
+    and predict is then driven through the documented whole-frame fallback
+    so the landmark + gaze blobs run end-to-end deterministically."""
+    from havatar_tpu.preprocess import landmark_net as L
     from havatar_tpu.preprocess.tracker import JaxTracker
 
     tr = JaxTracker.from_onnx(224, 224, MODELS, model_type=0,
@@ -117,6 +121,20 @@ def test_real_tracker_weights_end_to_end():
     rng = np.random.RandomState(0)
     frame = (rng.rand(224, 224, 3) * 80).astype(np.uint8)
     frame[60:170, 60:170] = 190          # bright square "face"
+
+    # the shipped detection blob executes: [56, 56, 2] finite heat/size maps
+    im = L.preprocess_crop(frame, res=224)[0]
+    maps, mp = tr.detect_fn(im)
+    assert maps.shape == (56, 56, 2) and np.isfinite(maps).all()
+    assert mp.shape == (56, 56, 2) and np.isfinite(mp).all()
+    # maxpool channel is a local max of the heat channel everywhere
+    assert (mp[..., 0] >= maps[..., 0] - 1e-6).all()
+
+    # no face in noise: predict through the real detector finds nothing
+    assert tr.predict(frame) == []
+
+    # whole-frame fallback drives the real landmark + gaze blobs e2e
+    tr.detect_fn = lambda im: (None, None)
     res = tr.predict(frame)
     assert len(res) == 1
     r = res[0]
