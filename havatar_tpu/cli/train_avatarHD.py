@@ -53,10 +53,21 @@ def main() -> None:
                         "alternating update in two documented ways: one "
                         "shared rng draw for both renders, and G plays "
                         "against the pre-update D")
+    p.add_argument("--fused-mlp", action="store_true",
+                   help="run the field MLP as the fused Pallas kernel pair "
+                        "(fwd + custom_vjp bwd, ops/pallas_mlp.py) and drop "
+                        "the outer render remat: the kernel's in-VMEM "
+                        "recompute keeps residuals small enough that the "
+                        "un-rematted graph fits a 16 GB chip, skipping the "
+                        "remat re-forward (0.79 -> 0.59 s/iter measured at "
+                        "the reference operating point, docs/PERF.md). "
+                        "Math-identical (grad-checked vs XLA autodiff)")
     args = p.parse_args()
 
     install_preemption()
     cfg = resolve_config(args.config)
+    if args.fused_mlp:
+        cfg.models.use_pallas_mlp = True
     rng = seed_everything(cfg.experiment.randomseed)
     render_size = cfg.models.StyleUnet.inp_size
     gen_size = cfg.models.StyleUnet.out_size
@@ -126,7 +137,8 @@ def main() -> None:
               "\nConvert them once with: python scripts/convert_lpips.py\n"
               + "=" * 70, flush=True)
     d_step, r1_step, g_step, dg_step = stage2.make_steps(
-        cfg, renderer, generator, discriminator, lpips_params=lpips_params)
+        cfg, renderer, generator, discriminator, lpips_params=lpips_params,
+        remat_render=not args.fused_mlp)
 
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
                                  save_interval_steps=cfg.experiment.save_every)

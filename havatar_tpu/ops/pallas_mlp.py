@@ -32,6 +32,7 @@ compute_dtype="bfloat16" XLA path (f32 in → f32 dots, used for training).
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -274,9 +275,15 @@ def _fused_mlp_chain_bwd(interpret, tile, res, g):
 _fused_mlp_chain_vjp.defvjp(_fused_mlp_chain_fwd, _fused_mlp_chain_bwd)
 
 
-def fused_mlp_chain(x: jnp.ndarray, params: dict, interpret: bool = False,
+def fused_mlp_chain(x: jnp.ndarray, params: dict,
+                    interpret: Optional[bool] = None,
                     tile: int = TILE) -> jnp.ndarray:
     """Differentiable fused dense chain: forward and backward are each ONE
     Pallas kernel (see module docstring). Same signature/semantics as the
-    round-2 inference-only version."""
+    round-2 inference-only version. ``interpret=None`` auto-selects
+    interpreter mode on CPU (Mosaic needs a real TPU), matching
+    ops/pallas_march.py — so renderer paths built with use_pallas_mlp run
+    unchanged in CPU tests and the multichip dryrun."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     return _fused_mlp_chain_vjp(interpret, tile, x, params)

@@ -78,7 +78,8 @@ def make_optimizers(cfg):
 
 def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
                discriminator: WaveletDiscriminator,
-               lpips_params: Optional[Any] = None):
+               lpips_params: Optional[Any] = None,
+               remat_render: bool = True):
     gan = cfg.gan
     nerf_cfg = cfg.nerf.train
     render_size = cfg.models.StyleUnet.inp_size
@@ -180,10 +181,10 @@ def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
         # remat the render (math-identical; recomputed in the backward):
         # the G graph's peak sits within ~100 MB of a 16 GB chip at the
         # reference operating point, and tips over inside a lax.scan
-        render_g = jax.checkpoint(
-            lambda nerf_params, latent_codes: render_full(
-                nerf_params, state.nerf_buffers, latent_codes, batch,
-                rng_nerf))
+        render_g = lambda nerf_params, latent_codes: render_full(
+            nerf_params, state.nerf_buffers, latent_codes, batch, rng_nerf)
+        if remat_render:
+            render_g = jax.checkpoint(render_g)
 
         def loss_fn(trainable):
             nerf_params, latent_codes, g_params = trainable
@@ -254,10 +255,10 @@ def make_steps(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
         # holds G-backward activations AND the D fwd/bwd live together,
         # which exceeds a 16 GB chip at the reference operating point —
         # recomputing the render in the backward bounds the peak
-        render_ckpt = jax.checkpoint(
-            lambda nerf_params, latent_codes: render_full(
-                nerf_params, state.nerf_buffers, latent_codes, batch,
-                rng_nerf))
+        render_ckpt = lambda nerf_params, latent_codes: render_full(
+            nerf_params, state.nerf_buffers, latent_codes, batch, rng_nerf)
+        if remat_render:
+            render_ckpt = jax.checkpoint(render_ckpt)
 
         def g_loss_fn(trainable):
             nerf_params, latent_codes, g_params = trainable

@@ -74,7 +74,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="",
                     choices=["", "stage1", "stage2", "stage2_bf16",
-                             "stage2_pallas_mlp"])
+                             "stage2_pallas_mlp", "stage2_pallas_mlp_noremat",
+                             "stage2_noremat"])
     flags = ap.parse_args()
 
     from havatar_tpu.cli.common import resolve_config
@@ -128,6 +129,26 @@ def main():
                                                   True))
         print(json.dumps(res))
         return
+    if flags.only == "stage2_pallas_mlp_noremat":
+        # fused-MLP custom_vjp WITHOUT the outer jax.checkpoint: the bwd
+        # kernel recomputes activations in VMEM, so the no-remat graph
+        # fits — and skips the remat re-forward of the whole render
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_pallas_mlp_noremat_s",
+                        set_cfg=lambda c: setattr(c.models, "use_pallas_mlp",
+                                                  True),
+                        remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_noremat":
+        # XLA field without the outer remat (fits standalone; tips over in
+        # scanned/pipelined contexts per docs/PERF.md — measured for the
+        # remat-cost attribution)
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_noremat_s",
+                        set_cfg=lambda c: None, remat_render=False)
+        print(json.dumps(res))
+        return
     with jax.default_device(cpu):
         models, st2 = stage2.init_state(cfg2, rng2, num_frames=4,
                                         example_batch=example2)
@@ -163,7 +184,7 @@ def main():
 
 
 def _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res, key,
-                    set_cfg, N=3):
+                    set_cfg, N=3, remat_render=True):
     """Time the fused dg fast step under a config mutation, in its own
     process (two full stage-2 model sets do not fit a 16 GB chip)."""
     from havatar_tpu.train import stage2
@@ -175,7 +196,8 @@ def _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res, key,
                                            example_batch=example2)
     st2b = jax.device_put(st2b, dev)
     batch2 = jax.device_put(batch2, dev)
-    d_b, r1_b, g_b, dg_b = stage2.make_steps(cfg2b, *models_b)
+    d_b, r1_b, g_b, dg_b = stage2.make_steps(cfg2b, *models_b,
+                                             remat_render=remat_render)
     st2b, res[key] = scan_time(
         lambda st, i: dg_b(st, batch2, jax.random.fold_in(rng2, 60 + i)),
         st2b, n=N)

@@ -155,3 +155,47 @@ def test_stage2_steps_run_and_update():
     assert float(jnp.abs(g2 - g1).max()) > 0
     assert float(jnp.abs(n2 - n1).max()) > 0
     assert int(state.step) == 2
+
+
+@pytest.mark.slow
+def test_stage2_fused_mlp_noremat_matches_default():
+    """The production fast path (`train_avatarHD.py --fused-mlp`:
+    use_pallas_mlp + remat_render=False) is loss-identical to the default
+    XLA-field rematted dg_step — same state, batch and rng through both
+    step functions (the Pallas custom_vjp runs in interpret mode on CPU)."""
+    from havatar_tpu.train import stage2
+
+    cfg = tiny_cfg()
+    cfg.models.StyleUnet.inp_size = 16
+    cfg.models.StyleUnet.out_size = 64
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng, R=16 * 16, gen_size=64, render_size=16)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    models, state = stage2.init_state(cfg, rng, num_frames=2,
+                                      example_batch=example)
+    _, _, _, dg_ref = stage2.make_steps(cfg, *models)
+
+    cfg_f = tiny_cfg()
+    cfg_f.models.StyleUnet.inp_size = 16
+    cfg_f.models.StyleUnet.out_size = 64
+    cfg_f.models.use_pallas_mlp = True
+    models_f = stage2.build_models(cfg_f)
+    _, _, _, dg_fast = stage2.make_steps(cfg_f, *models_f,
+                                         remat_render=False)
+
+    step_rng = jax.random.PRNGKey(3)
+    state_r, m_ref = dg_ref(state, batch, step_rng)
+    state_f, m_fast = dg_fast(state, batch, step_rng)
+
+    for key in ("rgb_loss", "mask_loss", "nerf_loss", "g", "hr_l1", "d",
+                "real_score", "fake_score"):
+        np.testing.assert_allclose(float(m_fast[key]), float(m_ref[key]),
+                                   atol=2e-4, rtol=2e-3, err_msg=key)
+    # parameters moved in both paths and track each other closely (step-1
+    # Adam is ~lr*sign(g): allow a small multiple of lr for near-zero grads)
+    n_r = jax.tree_util.tree_leaves(state_r.nerf_params)[0]
+    n_f = jax.tree_util.tree_leaves(state_f.nerf_params)[0]
+    n_0 = jax.tree_util.tree_leaves(state.nerf_params)[0]
+    assert float(jnp.abs(n_r - n_0).max()) > 0
+    lr = float(cfg.optimizer.lr)
+    assert float(jnp.abs(n_f - n_r).max()) <= 2.5 * lr
