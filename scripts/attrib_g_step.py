@@ -35,10 +35,22 @@ from bench_train import scan_time, synth_batch  # noqa: E402
 
 
 def main():
+    import argparse
+
     from havatar_tpu.cli.common import resolve_config
     from havatar_tpu.models.renderer import AvatarRenderer, latent_code_loss
     from havatar_tpu.train import losses as L
     from havatar_tpu.train import stage2
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", action="store_true",
+                    help="use_pallas_mlp (fused field-MLP fwd+bwd kernels)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="models.compute_dtype=bfloat16")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="drop the outer render remat in every variant "
+                         "(the --fused-mlp production operating point)")
+    flags = ap.parse_args()
 
     res = {}
     dev = jax.devices()[0]
@@ -48,6 +60,11 @@ def main():
         cpu = dev
 
     cfg = resolve_config("singleview_512_HD_base.yml")
+    if flags.fused:
+        cfg.models.use_pallas_mlp = True
+    if flags.bf16:
+        cfg.models.compute_dtype = "bfloat16"
+    base_remat = not flags.no_remat
     rng = jax.random.PRNGKey(2)
     batch = synth_batch(rng, B=2, R=128 * 128, full=True)
     example = {k: np.asarray(v) for k, v in batch.items()}
@@ -138,14 +155,16 @@ def main():
             return state, {"v": loss_fn(tr)}
         return step
 
-    timed("fwd_only_s", mk_step(detach=False, grad=False))
-    timed("g_only_s", mk_step(detach=True, grad=True))
-    timed("full_s", mk_step(detach=False, grad=True))
-    try:
-        timed("full_no_remat_s", mk_step(detach=False, grad=True, remat=False))
-    except Exception as e:  # OOM expected in scanned contexts
-        res["full_no_remat_s"] = f"failed: {type(e).__name__}"
-        print(res["full_no_remat_s"], flush=True)
+    timed("fwd_only_s", mk_step(detach=False, grad=False, remat=base_remat))
+    timed("g_only_s", mk_step(detach=True, grad=True, remat=base_remat))
+    timed("full_s", mk_step(detach=False, grad=True, remat=base_remat))
+    if base_remat:
+        try:
+            timed("full_no_remat_s",
+                  mk_step(detach=False, grad=True, remat=False))
+        except Exception as e:  # OOM expected in scanned contexts
+            res["full_no_remat_s"] = f"failed: {type(e).__name__}"
+            print(res["full_no_remat_s"], flush=True)
 
     # nerf-only objective (no GAN in the graph at all)
     def mse_step(state, i):
@@ -156,9 +175,11 @@ def main():
 
         def loss_fn(tr):
             nerf_params, latent_codes = tr
-            render, mask, code_loss = jax.checkpoint(
-                lambda p, lc: render_full(p, state.nerf_buffers, lc, batch,
-                                          rng_i))(nerf_params, latent_codes)
+            rf = lambda p, lc: render_full(p, state.nerf_buffers, lc, batch,
+                                           rng_i)
+            if base_remat:
+                rf = jax.checkpoint(rf)
+            render, mask, code_loss = rf(nerf_params, latent_codes)
             lr_up = L.downsample_bilinear(render[..., :3], gen_size)
             return (jnp.mean(jnp.square(lr_up - gt_lr_up)) + code_loss
                     + mask_weight * L.binary_cross_entropy(mask, gt_lr_mask))

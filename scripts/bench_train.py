@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--only", default="",
                     choices=["", "stage1", "stage2", "stage2_bf16",
                              "stage2_pallas_mlp", "stage2_pallas_mlp_noremat",
+                             "stage2_pallas_mlp_bf16_noremat",
                              "stage2_noremat"])
     flags = ap.parse_args()
 
@@ -138,6 +139,18 @@ def main():
                         set_cfg=lambda c: setattr(c.models, "use_pallas_mlp",
                                                   True),
                         remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_pallas_mlp_bf16_noremat":
+        # the production fast step PLUS bf16 compute: now that the remat
+        # bound is gone (fused-MLP bwd keeps residuals small), the step is
+        # gather/scatter-bandwidth bound — bf16 halves those bytes
+        def _set(c):
+            c.models.use_pallas_mlp = True
+            c.models.compute_dtype = "bfloat16"
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_pallas_mlp_bf16_noremat_s",
+                        set_cfg=_set, remat_render=False)
         print(json.dumps(res))
         return
     if flags.only == "stage2_noremat":
