@@ -62,12 +62,21 @@ def main() -> None:
                         "remat re-forward (0.79 -> 0.59 s/iter measured at "
                         "the reference operating point, docs/PERF.md). "
                         "Math-identical (grad-checked vs XLA autodiff)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 NeRF compute (matmul inputs + gather/"
+                        "scatter tables; f32 accumulation, geometry, and "
+                        "GAN nets). Opt-in speed mode: training numerics "
+                        "differ from the f32 reference. With --fused-mlp "
+                        "this is the fastest measured step (0.54 s/iter vs "
+                        "0.97 baseline, docs/PERF.md)")
     args = p.parse_args()
 
     install_preemption()
     cfg = resolve_config(args.config)
     if args.fused_mlp:
         cfg.models.use_pallas_mlp = True
+    if args.bf16:
+        cfg.models.compute_dtype = "bfloat16"
     rng = seed_everything(cfg.experiment.randomseed)
     render_size = cfg.models.StyleUnet.inp_size
     gen_size = cfg.models.StyleUnet.out_size

@@ -199,3 +199,34 @@ def test_stage2_fused_mlp_noremat_matches_default():
     assert float(jnp.abs(n_r - n_0).max()) > 0
     lr = float(cfg.optimizer.lr)
     assert float(jnp.abs(n_f - n_r).max()) <= 2.5 * lr
+
+
+def test_stage2_bf16_fast_step_runs():
+    """The `--fused-mlp --bf16` CLI combination (bf16 NeRF compute +
+    fused-MLP custom_vjp + no render remat — the fastest measured step,
+    docs/PERF.md): runs, produces finite losses, and updates every
+    parameter group."""
+    from havatar_tpu.train import stage2
+
+    cfg = tiny_cfg()
+    cfg.models.StyleUnet.inp_size = 16
+    cfg.models.StyleUnet.out_size = 64
+    cfg.models.use_pallas_mlp = True
+    cfg.models.compute_dtype = "bfloat16"
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng, R=16 * 16, gen_size=64, render_size=16)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    models, state = stage2.init_state(cfg, rng, num_frames=2,
+                                      example_batch=example)
+    _, _, _, dg_step = stage2.make_steps(cfg, *models, remat_render=False)
+
+    state2, metrics = dg_step(state, batch, jax.random.PRNGKey(3))
+    for key in ("d", "g", "nerf_loss", "hr_l1"):
+        assert np.isfinite(float(metrics[key])), (key, metrics[key])
+    for old, new in (
+            (state.nerf_params, state2.nerf_params),
+            (state.g_params, state2.g_params),
+            (state.d_params, state2.d_params)):
+        o = jax.tree_util.tree_leaves(old)[0]
+        n = jax.tree_util.tree_leaves(new)[0]
+        assert float(jnp.abs(n - o).max()) > 0
