@@ -87,7 +87,11 @@ def run_reenactment(cfg, split_file: str, savedir: str, variables,
     if precision == "auto":
         precision = "fast" if jax.default_backend() not in ("cpu",) else "exact"
     if precision == "fast":
+        # skin_compute_dtype=None: inference WANTS the bf16 skin volume
+        # (64 B gather rows; build_renderer pins it f32 for training where
+        # the bf16 scatter backward is the slow case)
         renderer = renderer.clone(compute_dtype="bfloat16",
+                                  skin_compute_dtype=None,
                                   use_pallas_march=True)
     gan = cfg.gan
     generator = StyleUNetSR(

@@ -34,13 +34,17 @@ class WaveletDiscriminator(nn.Module):
     c_dim: int = 0
     stddev_group: int = 4
     stddev_feat: int = 1
+    # same convention as the generators: casts the input once; the equalized
+    # blocks follow the activation dtype (params stay f32). f32 default —
+    # adversarial training is the numerics-sensitive part.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, img, flat_pose: Optional[jnp.ndarray] = None):
         ch = channel_map(self.channel_multiplier)
         log_size = int(math.log2(self.size)) - 1
 
-        x = haar_transform(img)
+        x = haar_transform(img.astype(jnp.dtype(self.compute_dtype)))
 
         out = None
         in_channel = ch[self.size]
@@ -62,6 +66,7 @@ class WaveletDiscriminator(nn.Module):
         out = out.transpose(0, 3, 1, 2).reshape(B, -1)
         out = EqualLinear(ch[4], activation="fused_lrelu", name="final_linear0")(out)
         out = EqualLinear(1, name="final_linear1")(out)
+        out = out.astype(jnp.float32)  # scores/losses accumulate in f32
 
         if self.c_dim > 0:
             assert flat_pose is not None

@@ -52,6 +52,14 @@ class AvatarRenderer(nn.Module):
     render_size: int = 128
     skin_vol_res: int = 64
     compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
+    # Override for the skinning volume's gather dtype. None follows
+    # compute_dtype. Inference wants bf16 (64 B rows fetch ~1.5x faster —
+    # ops/grid_sample.py); TRAINING in bf16 mode wants f32: the volume's
+    # gradient is a scatter-add, and bf16 scatter accumulation lowers ~2x
+    # slower than f32 on TPU (measured: scripts/probe_bwd_pieces.py,
+    # 0.083 s vs 0.045 s at the stage-2 operating point). The volume is
+    # 64³ — its fetch bandwidth is negligible either way.
+    skin_compute_dtype: Optional[str] = None
     use_pallas_mlp: bool = False     # fused field MLP (inference only)
     # fully-fused field+composite march kernels (ops/pallas_march.py):
     # radiance never round-trips HBM. Inference only (no perturb/noise/rng);
@@ -82,9 +90,9 @@ class AvatarRenderer(nn.Module):
         xb, yb, zb = [list(b) for b in self.xyz_bounding]
         yb[0] = 0.3 * yb[1]
         scales, trans = get_box_warp_param(xb, yb, zb)
-        self.skinning = SkinningField(scales=scales, trans=trans,
-                                      vol_res=self.skin_vol_res,
-                                      compute_dtype=self.compute_dtype)
+        self.skinning = SkinningField(
+            scales=scales, trans=trans, vol_res=self.skin_vol_res,
+            compute_dtype=self.skin_compute_dtype or self.compute_dtype)
 
     # -- helpers -----------------------------------------------------------
 

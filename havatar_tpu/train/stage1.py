@@ -51,6 +51,10 @@ def build_renderer(cfg) -> AvatarRenderer:
         skin_vol_res=coarse.get("skin_vol_res", 64),
         feat_dim=cfg.models.StyleUnet.inp_ch,
         compute_dtype=cfg.models.get("compute_dtype", "float32"),
+        # training keeps the skinning volume f32 even under bf16 compute:
+        # its backward is a scatter-add, and bf16 scatter accumulation is
+        # ~2x slower than f32 (probe_bwd_pieces.py; docs/PERF.md)
+        skin_compute_dtype="float32",
         render_size=cfg.models.StyleUnet.inp_size,
         cond_res=cfg.dataset.cond_render_res,
         # fused Pallas field MLP (fwd AND bwd kernels — ops/pallas_mlp.py);

@@ -54,15 +54,21 @@ class Stage2State(NamedTuple):
 def build_models(cfg) -> Tuple[AvatarRenderer, StyleUNetSR, WaveletDiscriminator]:
     renderer = build_renderer(cfg)
     gan = cfg.gan
+    # separate knob from models.compute_dtype: the NeRF side is where bf16
+    # pays (gather/scatter tables); the GAN nets default to f32 (adversarial
+    # training is the numerics-sensitive part). Params stay f32 either way.
+    gan_dtype = cfg.models.get("gan_compute_dtype", "float32")
     generator = StyleUNetSR(
         inp_size=cfg.models.StyleUnet.inp_size,
         inp_ch=cfg.models.StyleUnet.inp_ch,
         out_ch=3, out_size=cfg.models.StyleUnet.out_size,
         style_dim=gan.latent, n_mlp=gan.n_mlp,
-        channel_multiplier=gan.channel_multiplier)
+        channel_multiplier=gan.channel_multiplier,
+        compute_dtype=gan_dtype)
     discriminator = WaveletDiscriminator(
         size=cfg.models.StyleUnet.out_size, img_channel=3,
-        channel_multiplier=gan.channel_multiplier)
+        channel_multiplier=gan.channel_multiplier,
+        compute_dtype=gan_dtype)
     return renderer, generator, discriminator
 
 

@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--no-remat", action="store_true",
                     help="drop the outer render remat in every variant "
                          "(the --fused-mlp production operating point)")
+    ap.add_argument("--detach-probes", action="store_true",
+                    help="also measure full grads with planes / skin volume "
+                         "stop_gradient'd (scatter-backward attribution)")
     flags = ap.parse_args()
 
     res = {}
@@ -81,21 +84,47 @@ def main():
     mask_weight = cfg.experiment.mask_weight
     n_latent = generator.n_latent
 
-    def render_full(nerf_params, buffers, latent_codes, batch, rng):
+    def _rfi_detach(m, rays8, bg, latent, inv_T, front, left, right, rng,
+                    detach_planes, detach_vol):
+        """render_full_image with optional stop_gradient seams: planes
+        (removes the quad-row scatter-add + plane-generator backward) and
+        the skinning volume (removes the packed-row scatter-add + volume-
+        decoder backward; the coordinate backward stays live)."""
+        B = rays8.shape[0]
+        cond_c = inv_T.reshape(B, -1)
+        planes = m.field.generate_planes(latent, cond_c, front, left, right)
+        if detach_planes:
+            planes = jax.lax.stop_gradient(planes)
+        vol = m.skinning.volume()
+        if detach_vol:
+            vol = jax.lax.stop_gradient(vol)
+        out = m.render_rays(
+            planes, rays8, bg, inv_T,
+            num_coarse=nerf_cfg.num_coarse, num_fine=nerf_cfg.num_fine,
+            perturb=bool(nerf_cfg.perturb),
+            radiance_field_noise_std=float(nerf_cfg.radiance_field_noise_std),
+            rng=rng, fixed_volume=vol)
+        rgb = (out["rgb_fine"] if out["rgb_fine"] is not None
+               else out["rgb_coarse"])
+        acc = (out["acc_fine"] if out["acc_fine"] is not None
+               else out["acc_coarse"])
+        s = m.render_size
+        return rgb.reshape(B, s, s, -1), acc.reshape(B, s, s, 1)
+
+    def render_full(nerf_params, buffers, latent_codes, batch, rng,
+                    detach_planes=False, detach_vol=False):
         rays = batch["mv_rays"]
         latent = latent_codes[batch["dataset_idx"]]
         render, mask = renderer.apply(
             {"params": nerf_params, "buffers": buffers},
             rays[..., :8], rays[..., 8:11], latent, batch["inv_head_T"],
             batch["front_render_cond"], batch["left_render_cond"],
-            batch["right_render_cond"],
-            num_coarse=nerf_cfg.num_coarse, num_fine=nerf_cfg.num_fine,
-            perturb=bool(nerf_cfg.perturb),
-            radiance_field_noise_std=float(nerf_cfg.radiance_field_noise_std),
-            rng=rng, method=AvatarRenderer.render_full_image)
+            batch["right_render_cond"], rng,
+            detach_planes, detach_vol, method=_rfi_detach)
         return render, mask, latent_code_loss(latent_codes, latent)
 
-    def make_loss(state, batch, rng, detach_render, remat=True):
+    def make_loss(state, batch, rng, detach_render, remat=True,
+                  detach_planes=False, detach_vol=False):
         gt_hr = batch["gt_hr_img"]
         gt_lr_mask = batch["gt_lr_mask"]
         gt_lr_up = L.downsample_bilinear(
@@ -109,7 +138,8 @@ def main():
                                  n_latent)
 
         rf = lambda p, lc: render_full(p, state.nerf_buffers, lc, batch,
-                                       rng_nerf)
+                                       rng_nerf, detach_planes=detach_planes,
+                                       detach_vol=detach_vol)
         if remat:
             rf = jax.checkpoint(rf)
 
@@ -141,10 +171,13 @@ def main():
         st, res[name] = scan_time(step_fn, st, n=n)
         print(json.dumps({name: res[name]}), flush=True)
 
-    def mk_step(detach, grad, remat=True):
+    def mk_step(detach, grad, remat=True, detach_planes=False,
+                detach_vol=False):
         def step(state, i):
             loss_fn = make_loss(state, batch, jax.random.fold_in(rng, i),
-                                detach_render=detach, remat=remat)
+                                detach_render=detach, remat=remat,
+                                detach_planes=detach_planes,
+                                detach_vol=detach_vol)
             tr = (state.nerf_params, state.latent_codes, state.g_params)
             if grad:
                 val, grads = jax.value_and_grad(loss_fn)(tr)
@@ -158,6 +191,16 @@ def main():
     timed("fwd_only_s", mk_step(detach=False, grad=False, remat=base_remat))
     timed("g_only_s", mk_step(detach=True, grad=True, remat=base_remat))
     timed("full_s", mk_step(detach=False, grad=True, remat=base_remat))
+    if flags.detach_probes:
+        # stop_gradient seams inside the live graph: full - no_planes ==
+        # plane scatter + plane-gen bwd; full - no_vol == skin-volume
+        # scatter + volume-decoder bwd
+        timed("full_no_planes_s",
+              mk_step(detach=False, grad=True, remat=base_remat,
+                      detach_planes=True))
+        timed("full_no_vol_s",
+              mk_step(detach=False, grad=True, remat=base_remat,
+                      detach_vol=True))
     if base_remat:
         try:
             timed("full_no_remat_s",

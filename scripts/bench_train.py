@@ -76,6 +76,7 @@ def main():
                     choices=["", "stage1", "stage2", "stage2_bf16",
                              "stage2_pallas_mlp", "stage2_pallas_mlp_noremat",
                              "stage2_pallas_mlp_bf16_noremat",
+                             "stage2_all_bf16_noremat",
                              "stage2_noremat"])
     flags = ap.parse_args()
 
@@ -151,6 +152,18 @@ def main():
         _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
                         key="stage2_dg_pallas_mlp_bf16_noremat_s",
                         set_cfg=_set, remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_all_bf16_noremat":
+        # ...plus bf16 GAN nets (gan_compute_dtype knob): measures whether
+        # the remaining f32 SR/D forward+backward is worth casting
+        def _set_all(c):
+            c.models.use_pallas_mlp = True
+            c.models.compute_dtype = "bfloat16"
+            c.models.gan_compute_dtype = "bfloat16"
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_all_bf16_noremat_s",
+                        set_cfg=_set_all, remat_render=False)
         print(json.dumps(res))
         return
     if flags.only == "stage2_noremat":
