@@ -37,9 +37,19 @@ indexes D. align_corners=True maps -1 -> 0 and +1 -> size-1.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+# The backward of both samplers is a scatter-add splat (the adjoint of the
+# row gather). When True, updates are sorted by destination row and the
+# scatter runs with indices_are_sorted=True (sort keys + permute-gather the
+# payload first) — whether that beats XLA's unsorted scatter emitter is
+# hardware-dependent; scripts/probe_scatter.py measures it. Trace-time flag:
+# set before building the train step.
+SORTED_SCATTER = False
 
 
 def _unnormalize(coord: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -67,6 +77,111 @@ def _axis_weights(pix: jnp.ndarray, size: int):
     return start, w0, w1
 
 
+def _quad_pack_2d(feat_hwc: jnp.ndarray) -> jnp.ndarray:
+    """[H, W, C] -> [(H-1)*(W-1), 4C]: row (y0, x0) holds the 4 bilinear
+    corner texels (y0|y0+1) x (x0|x0+1) contiguously, so each sample point
+    costs ONE row fetch (gathers are issue-rate bound)."""
+    H, W, C = feat_hwc.shape
+    p = feat_hwc
+    quad = jnp.stack([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2)
+    return quad.reshape((H - 1) * (W - 1), 4 * C)
+
+
+def _w4_2d(coords_n2: jnp.ndarray, H: int, W: int, padding_mode: str):
+    """Bilinear corner weights [N, 4] (differentiable in coords)."""
+    x = _unnormalize(coords_n2[:, 0], W)
+    y = _unnormalize(coords_n2[:, 1], H)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    _, wx0, wx1 = _axis_weights(x, W)
+    _, wy0, wy1 = _axis_weights(y, H)
+    return jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+
+
+def _idx_2d(coords_n2: jnp.ndarray, H: int, W: int,
+            padding_mode: str) -> jnp.ndarray:
+    """Quad-table row index [N] int32 (integer path, non-differentiable)."""
+    x = _unnormalize(coords_n2[:, 0], W)
+    y = _unnormalize(coords_n2[:, 1], H)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    return y0 * (W - 1) + x0
+
+
+def _splat_rows(upd: jnp.ndarray, idx: jnp.ndarray, rows: int) -> jnp.ndarray:
+    """Scatter-add [N, L] f32 update rows at [N] row indices -> [rows, L].
+
+    The adjoint of ``jnp.take(packed, idx)``. With SORTED_SCATTER the
+    updates are pre-sorted by destination (sort keys, permute-gather the
+    payload) and the scatter runs indices_are_sorted=True."""
+    if SORTED_SCATTER:
+        sk, perm = lax.sort_key_val(
+            idx, jnp.arange(idx.shape[0], dtype=jnp.int32))
+        upd = jnp.take(upd, perm, axis=0)
+        return jnp.zeros((rows, upd.shape[1]), jnp.float32).at[sk].add(
+            upd, indices_are_sorted=True)
+    return jnp.zeros((rows, upd.shape[1]), jnp.float32).at[idx].add(upd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gs2d_one(padding_mode: str, feat_hwc: jnp.ndarray,
+              coords_n2: jnp.ndarray) -> jnp.ndarray:
+    H, W, C = feat_hwc.shape
+    packed = _quad_pack_2d(feat_hwc)
+    row = jnp.take(packed, _idx_2d(coords_n2, H, W, padding_mode), axis=0)
+    w4 = _w4_2d(coords_n2, H, W, padding_mode)
+    val = jnp.einsum("nkc,nk->nc", row.reshape(-1, 4, C).astype(w4.dtype), w4)
+    return val.astype(feat_hwc.dtype)
+
+
+def _gs2d_one_fwd(padding_mode, feat_hwc, coords_n2):
+    # Residuals: the INPUTS only. The gathered [N, 4C] rows are re-gathered
+    # in the backward (one extra fetch pass) instead of being saved — saving
+    # them costs an HBM write in fwd + read in bwd of the same bytes AND
+    # ~1.3 GB of residency per call at the stage-2 operating point (the
+    # no-remat G-step graph is within 41 MB of this chip's HBM — PERF.md).
+    # The narrow per-point residuals (w4 [N,4], indices [N]) are recomputed
+    # from coords: TPU tiles pad a 4-lane f32 residual to 128 lanes, i.e.
+    # 32x its logical bytes on the wire (docs/PERF.md "tiled-layout tax").
+    return _gs2d_one(padding_mode, feat_hwc, coords_n2), (feat_hwc, coords_n2)
+
+
+def _gs2d_one_bwd(padding_mode, res, g):
+    feat_hwc, coords_n2 = res
+    H, W, C = feat_hwc.shape
+    idx = _idx_2d(coords_n2, H, W, padding_mode)
+    packed = _quad_pack_2d(feat_hwc)
+    rowf = jnp.take(packed, idx, axis=0).reshape(-1, 4, C)
+    rowf = rowf.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+    # d coords: through the weight chain (exact, incl. the border clip)
+    w4, pull = jax.vjp(
+        lambda c: _w4_2d(c, H, W, padding_mode).astype(jnp.float32),
+        coords_n2)
+    dw4 = jnp.einsum("nkc,nc->nk", rowf, gf)
+    dcoords = pull(dw4)[0]
+    # d feat: splat w4 (x) g into the quad table, then un-pack (4 dense
+    # shifted adds). Updates accumulate in f32 regardless of the feature
+    # dtype: bf16 scatter lowers ~2x slower (probe_bwd_pieces.py).
+    upd = (w4.astype(jnp.float32)[:, :, None] * gf[:, None, :]).reshape(
+        -1, 4 * C)
+    dpacked = _splat_rows(upd, idx, (H - 1) * (W - 1))
+    q = dpacked.reshape(H - 1, W - 1, 4, C)
+    dfeat = jnp.zeros((H, W, C), jnp.float32)
+    dfeat = dfeat.at[:-1, :-1].add(q[:, :, 0])
+    dfeat = dfeat.at[:-1, 1:].add(q[:, :, 1])
+    dfeat = dfeat.at[1:, :-1].add(q[:, :, 2])
+    dfeat = dfeat.at[1:, 1:].add(q[:, :, 3])
+    return dfeat.astype(feat_hwc.dtype), dcoords.astype(coords_n2.dtype)
+
+
+_gs2d_one.defvjp(_gs2d_one_fwd, _gs2d_one_bwd)
+
+
 def grid_sample_2d(
     feat: jnp.ndarray,
     coords: jnp.ndarray,
@@ -75,35 +190,16 @@ def grid_sample_2d(
     """Sample [B, H, W, C] features at [B, N, 2] normalized (x, y) coords.
 
     Returns [B, N, C]. Matches torch F.grid_sample(bilinear,
-    align_corners=True) with grid shape [B, N, 1, 2].
+    align_corners=True) with grid shape [B, N, 1, 2]. Carries a custom VJP
+    (see ``_gs2d_one_bwd``) whose splat/residual layout is shaped for the
+    TPU memory system; the gradient math is identical to XLA autodiff.
     """
     assert padding_mode in ("zeros", "border")
-    B, H, W, C = feat.shape
-
-    def one(feat_hwc, coords_n2):
-        x = _unnormalize(coords_n2[:, 0], W)
-        y = _unnormalize(coords_n2[:, 1], H)
-        if padding_mode == "border":
-            x = jnp.clip(x, 0.0, W - 1)
-            y = jnp.clip(y, 0.0, H - 1)
-        x0, wx0, wx1 = _axis_weights(x, W)
-        y0, wy0, wy1 = _axis_weights(y, H)
-        # quad-pack: row (y0, x0) holds all 4 bilinear corners contiguously,
-        # so each point costs ONE row fetch (gathers are issue-rate bound)
-        p = feat_hwc
-        quad = jnp.stack(
-            [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2)
-        packed = quad.reshape((H - 1) * (W - 1), 4 * C)
-        row = jnp.take(packed, y0 * (W - 1) + x0, axis=0)
-        w4 = jnp.stack(
-            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
-        val = jnp.einsum("nkc,nk->nc",
-                         row.reshape(-1, 4, C).astype(w4.dtype), w4)
-        return val.astype(feat_hwc.dtype)
-
+    B = feat.shape[0]
     # static python loop over the (small) batch: vmap would produce a
     # batched gather, which lowers ~4x slower on TPU
-    return jnp.stack([one(feat[b], coords[b]) for b in range(B)], 0)
+    return jnp.stack(
+        [_gs2d_one(padding_mode, feat[b], coords[b]) for b in range(B)], 0)
 
 
 def grid_sample_2d_quad(
@@ -124,24 +220,140 @@ def grid_sample_2d_quad(
     B, H, W, C = feat.shape
 
     def one(feat_hwc, coords_n2):
-        x = _unnormalize(coords_n2[:, 0], W)
-        y = _unnormalize(coords_n2[:, 1], H)
-        if padding_mode == "border":
-            x = jnp.clip(x, 0.0, W - 1)
-            y = jnp.clip(y, 0.0, H - 1)
-        x0, wx0, wx1 = _axis_weights(x, W)
-        y0, wy0, wy1 = _axis_weights(y, H)
-        p = feat_hwc
-        quad = jnp.stack(
-            [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=2)
-        packed = quad.reshape((H - 1) * (W - 1), 4 * C)
-        row = jnp.take(packed, y0 * (W - 1) + x0, axis=0)
-        w4 = jnp.stack(
-            [wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+        packed = _quad_pack_2d(feat_hwc)
+        row = jnp.take(packed, _idx_2d(coords_n2, H, W, padding_mode), axis=0)
+        w4 = _w4_2d(coords_n2, H, W, padding_mode)
         return row, w4.astype(jnp.float32)
 
     rows, ws = zip(*[one(feat[b], coords[b]) for b in range(B)])
     return jnp.stack(rows, 0), jnp.stack(ws, 0)
+
+
+def _tile_geom_3d(W: int, C: int, itemsize: int):
+    """Static x-tile geometry of the 3D packer: (TW, stride, starts).
+
+    The volume sampler fetches one packed row of the 4 (z,y) corner x-RUNS
+    per point; TW picks the measured-fastest row width (scripts/
+    probe_fetch_width2.py): 64 B rows fetch ~1.5x faster than 128-256 B, so
+    the tile narrows to 8 when the row fits in 64 B (C=1 bf16 — the
+    inference-path skinning volume)."""
+    TW = min(8 if C * itemsize <= 2 else 16, W)
+    stride = max(TW // 2, 1)
+    n_tiles = max(1, -(-(W - TW) // stride) + 1)
+    starts = tuple(min(s * stride, W - TW) for s in range(n_tiles))
+    return TW, stride, starts
+
+
+def _pack_3d(vol_dhwc: jnp.ndarray, TW: int, starts) -> jnp.ndarray:
+    """[D, H, W, C] -> [(D-1)*(H-1)*n_tiles, 4*TW*C]: each row holds the 4
+    (z, y) corner x-runs of one overlapping x-tile."""
+    D, H, W, C = vol_dhwc.shape
+    tiles = jnp.stack([vol_dhwc[:, :, s: s + TW] for s in starts],
+                      axis=2)  # [D, H, T, TW, C]
+    quad = jnp.stack([tiles[:-1, :-1], tiles[:-1, 1:],
+                      tiles[1:, :-1], tiles[1:, 1:]], axis=3)
+    return quad.reshape((D - 1) * (H - 1) * len(starts), 4 * TW * C)
+
+
+def _w_3d(coords_n3: jnp.ndarray, D: int, H: int, W: int,
+          padding_mode: str, TW: int, stride: int, n_tiles: int):
+    """(wzy [N, 4], wx_vec [N, TW]) — differentiable in coords."""
+    x = _unnormalize(coords_n3[:, 0], W)
+    y = _unnormalize(coords_n3[:, 1], H)
+    z = _unnormalize(coords_n3[:, 2], D)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        z = jnp.clip(z, 0.0, D - 1)
+    x0, wx0, wx1 = _axis_weights(x, W)
+    _, wy0, wy1 = _axis_weights(y, H)
+    _, wz0, wz1 = _axis_weights(z, D)
+    k_tile = jnp.minimum(x0 // stride, n_tiles - 1)
+    x_local = x0 - jnp.minimum(k_tile * stride, W - TW)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
+    wx_vec = (jnp.where(xi == x_local[:, None], wx0[:, None], 0.0)
+              + jnp.where(xi == (x_local + 1)[:, None], wx1[:, None], 0.0))
+    wzy = jnp.stack([wz0 * wy0, wz0 * wy1, wz1 * wy0, wz1 * wy1], axis=-1)
+    return wzy, wx_vec
+
+
+def _idx_3d(coords_n3: jnp.ndarray, D: int, H: int, W: int,
+            padding_mode: str, stride: int, n_tiles: int) -> jnp.ndarray:
+    """Packed-table row index [N] int32 (integer path)."""
+    x = _unnormalize(coords_n3[:, 0], W)
+    y = _unnormalize(coords_n3[:, 1], H)
+    z = _unnormalize(coords_n3[:, 2], D)
+    if padding_mode == "border":
+        x = jnp.clip(x, 0.0, W - 1)
+        y = jnp.clip(y, 0.0, H - 1)
+        z = jnp.clip(z, 0.0, D - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, W - 2).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y), 0, H - 2).astype(jnp.int32)
+    z0 = jnp.clip(jnp.floor(z), 0, D - 2).astype(jnp.int32)
+    k_tile = jnp.minimum(x0 // stride, n_tiles - 1)
+    return (z0 * (H - 1) + y0) * n_tiles + k_tile
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gs3d_one(padding_mode: str, vol_dhwc: jnp.ndarray,
+              coords_n3: jnp.ndarray) -> jnp.ndarray:
+    # the skinning volume has C=1, so per-corner gathers would be
+    # scalar-class (≈100x slow); see _tile_geom_3d/_pack_3d: ONE packed-row
+    # fetch per point + a 2-sparse one-hot x-interpolation on the VPU.
+    D, H, W, C = vol_dhwc.shape
+    TW, stride, starts = _tile_geom_3d(W, C, jnp.dtype(vol_dhwc.dtype).itemsize)
+    packed = _pack_3d(vol_dhwc, TW, starts)
+    idx = _idx_3d(coords_n3, D, H, W, padding_mode, stride, len(starts))
+    wzy, wx_vec = _w_3d(coords_n3, D, H, W, padding_mode, TW, stride,
+                        len(starts))
+    row = jnp.take(packed, idx, axis=0).reshape(-1, 4, TW, C)
+    val = jnp.einsum("nkwc,nw->nkc", row.astype(wzy.dtype), wx_vec)
+    acc = jnp.einsum("nkc,nk->nc", val, wzy)
+    return acc.astype(vol_dhwc.dtype)
+
+
+def _gs3d_one_fwd(padding_mode, vol_dhwc, coords_n3):
+    # inputs-only residuals — same rationale as _gs2d_one_fwd
+    return _gs3d_one(padding_mode, vol_dhwc, coords_n3), (vol_dhwc, coords_n3)
+
+
+def _gs3d_one_bwd(padding_mode, res, g):
+    vol_dhwc, coords_n3 = res
+    D, H, W, C = vol_dhwc.shape
+    TW, stride, starts = _tile_geom_3d(W, C, jnp.dtype(vol_dhwc.dtype).itemsize)
+    n_tiles = len(starts)
+    idx = _idx_3d(coords_n3, D, H, W, padding_mode, stride, n_tiles)
+    packed = _pack_3d(vol_dhwc, TW, starts)
+    rowf = jnp.take(packed, idx, axis=0).reshape(-1, 4, TW, C)
+    rowf = rowf.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    (wzy, wx_vec), pull = jax.vjp(
+        lambda c: tuple(map(
+            lambda a: a.astype(jnp.float32),
+            _w_3d(c, D, H, W, padding_mode, TW, stride, n_tiles))),
+        coords_n3)
+    val = jnp.einsum("nkwc,nw->nkc", rowf, wx_vec)      # [N, 4, C]
+    dwzy = jnp.einsum("nkc,nc->nk", val, gf)
+    dval = wzy[:, :, None] * gf[:, None, :]             # [N, 4, C]
+    dwx = jnp.einsum("nkwc,nkc->nw", rowf, dval)
+    dcoords = pull((dwzy, dwx))[0]
+
+    drow = jnp.einsum("nkc,nw->nkwc", dval, wx_vec).reshape(-1, 4 * TW * C)
+    dpacked = _splat_rows(drow, idx, (D - 1) * (H - 1) * n_tiles)
+    q = dpacked.reshape(D - 1, H - 1, n_tiles, 4, TW, C)
+    dtiles = jnp.zeros((D, H, n_tiles, TW, C), jnp.float32)
+    dtiles = dtiles.at[:-1, :-1].add(q[:, :, :, 0])
+    dtiles = dtiles.at[:-1, 1:].add(q[:, :, :, 1])
+    dtiles = dtiles.at[1:, :-1].add(q[:, :, :, 2])
+    dtiles = dtiles.at[1:, 1:].add(q[:, :, :, 3])
+    dvol = jnp.zeros((D, H, W, C), jnp.float32)
+    for k, s in enumerate(starts):  # overlapping x-tiles accumulate
+        dvol = dvol.at[:, :, s: s + TW].add(dtiles[:, :, k])
+    return dvol.astype(vol_dhwc.dtype), dcoords.astype(coords_n3.dtype)
+
+
+_gs3d_one.defvjp(_gs3d_one_fwd, _gs3d_one_bwd)
 
 
 def grid_sample_3d(
@@ -153,63 +365,14 @@ def grid_sample_3d(
 
     Returns [B, N, C]. Matches torch F.grid_sample 3D (trilinear,
     align_corners=True) with grid [B, N, 1, 1, 3]: x indexes W, y indexes H,
-    z indexes D (reference utils/util.py:409-418).
+    z indexes D (reference utils/util.py:409-418). Custom VJP with a
+    TPU-shaped splat backward (see ``_gs3d_one_bwd``); gradient math is
+    identical to XLA autodiff.
     """
     assert padding_mode in ("zeros", "border")
-    B, D, H, W, C = vol.shape
-
-    def one(vol_dhwc, coords_n3):
-        x = _unnormalize(coords_n3[:, 0], W)
-        y = _unnormalize(coords_n3[:, 1], H)
-        z = _unnormalize(coords_n3[:, 2], D)
-        if padding_mode == "border":
-            x = jnp.clip(x, 0.0, W - 1)
-            y = jnp.clip(y, 0.0, H - 1)
-            z = jnp.clip(z, 0.0, D - 1)
-        x0, wx0, wx1 = _axis_weights(x, W)
-        y0, wy0, wy1 = _axis_weights(y, H)
-        z0, wz0, wz1 = _axis_weights(z, D)
-
-        # the skinning volume has C=1, so per-corner gathers would be
-        # scalar-class (≈100x slow). The gather fast path is ~bandwidth
-        # bound, so fetch as FEW bytes as possible per point while keeping
-        # each row one contiguous >=64-value run: pack the 4 (z,y) corner
-        # x-runs of an overlapping x-TILE (width TW, stride TW/2) into one
-        # row, fetch one row per point, and interpolate x with a 2-sparse
-        # one-hot dot over the TW lanes on the VPU. For the 64³ skinning
-        # volume this is 4·TW·C values/point instead of 4·64·C (4x fewer
-        # bytes than full x-rows; ~16x fewer than naive corner gathers).
-        # TW picks the measured-fastest row width (scripts/
-        # probe_fetch_width2.py): 64 B rows fetch ~1.5x faster than
-        # 128-256 B, so narrow the tile to 8 when the row fits in 64 B
-        # (C=1 bf16 — the inference-path skinning volume).
-        itemsize = jnp.dtype(vol_dhwc.dtype).itemsize
-        TW = min(8 if C * itemsize <= 2 else 16, W)
-        stride = max(TW // 2, 1)
-        n_tiles = max(1, -(-(W - TW) // stride) + 1)
-        starts = [min(s * stride, W - TW) for s in range(n_tiles)]
-        k_tile = jnp.minimum(x0 // stride, n_tiles - 1)
-        x_local = x0 - jnp.minimum(k_tile * stride, W - TW)
-
-        xi = jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1)
-        wx_vec = (jnp.where(xi == x_local[:, None], wx0[:, None], 0.0)
-                  + jnp.where(xi == (x_local + 1)[:, None], wx1[:, None], 0.0))
-
-        v = vol_dhwc
-        tiles = jnp.stack([v[:, :, s: s + TW]
-                           for s in starts], axis=2)  # [D,H,T,TW,C]
-        quad = jnp.stack([tiles[:-1, :-1], tiles[:-1, 1:],
-                          tiles[1:, :-1], tiles[1:, 1:]], axis=3)
-        packed = quad.reshape((D - 1) * (H - 1) * n_tiles, 4 * TW * C)
-        row = jnp.take(packed, (z0 * (H - 1) + y0) * n_tiles + k_tile, axis=0)
-        row = row.reshape(-1, 4, TW, C).astype(wz0.dtype)
-        wzy = jnp.stack(
-            [wz0 * wy0, wz0 * wy1, wz1 * wy0, wz1 * wy1], axis=-1)
-        val = jnp.einsum("nkwc,nw->nkc", row, wx_vec)
-        acc = jnp.einsum("nkc,nk->nc", val, wzy)
-        return acc.astype(vol_dhwc.dtype)
-
-    return jnp.stack([one(vol[b], coords[b]) for b in range(B)], 0)
+    B = vol.shape[0]
+    return jnp.stack(
+        [_gs3d_one(padding_mode, vol[b], coords[b]) for b in range(B)], 0)
 
 
 def sample_from_triplane(

@@ -101,6 +101,96 @@ def test_grid_sample_3d_matches_torch(padding_mode):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("sorted_scatter", [False, True])
+def test_grid_sample_2d_grads_match_torch(padding_mode, sorted_scatter,
+                                          monkeypatch):
+    """The custom VJP (TPU-shaped splat backward, ops/grid_sample.py) must
+    reproduce torch autograd's gradients wrt both the features and the
+    coords — including partially out-of-bounds points in zeros mode and
+    clamped points in border mode — for both scatter strategies."""
+    from havatar_tpu.ops import grid_sample as gs
+    monkeypatch.setattr(gs, "SORTED_SCATTER", sorted_scatter)
+
+    rng = np.random.RandomState(7)
+    feat = rng.randn(2, 9, 7, 5).astype(np.float32)
+    coords = (rng.rand(2, 33, 2).astype(np.float32) * 2.6 - 1.3)
+    cot = rng.randn(2, 33, 5).astype(np.float32)
+
+    tf = torch.from_numpy(np.moveaxis(feat, -1, 1)).requires_grad_(True)
+    tc = torch.from_numpy(coords).unsqueeze(-2).requires_grad_(True)
+    out = F.grid_sample(tf, tc, mode="bilinear", padding_mode=padding_mode,
+                        align_corners=True)[..., 0].permute(0, 2, 1)
+    out.backward(torch.from_numpy(cot))
+    want_df = np.moveaxis(tf.grad.numpy(), 1, -1)
+    want_dc = tc.grad.numpy()[:, :, 0, :]
+
+    def loss(f, c):
+        return jnp.sum(gs.grid_sample_2d(f, c, padding_mode)
+                       * jnp.asarray(cot))
+
+    df, dc = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(feat), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(df), want_df, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dc), want_dc, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("sorted_scatter", [False, True])
+def test_grid_sample_3d_grads_match_torch(padding_mode, sorted_scatter,
+                                          monkeypatch):
+    from havatar_tpu.ops import grid_sample as gs
+    monkeypatch.setattr(gs, "SORTED_SCATTER", sorted_scatter)
+
+    rng = np.random.RandomState(8)
+    vol = rng.randn(2, 6, 5, 4, 3).astype(np.float32)
+    coords = (rng.rand(2, 21, 3).astype(np.float32) * 2.4 - 1.2)
+    cot = rng.randn(2, 21, 3).astype(np.float32)
+
+    tv = torch.from_numpy(np.moveaxis(vol, -1, 1)).requires_grad_(True)
+    tc = torch.from_numpy(coords).reshape(2, 21, 1, 1, 3).requires_grad_(True)
+    out = F.grid_sample(tv, tc, mode="bilinear", padding_mode=padding_mode,
+                        align_corners=True)[:, :, :, 0, 0].permute(0, 2, 1)
+    out.backward(torch.from_numpy(cot))
+    want_dv = np.moveaxis(tv.grad.numpy(), 1, -1)
+    want_dc = tc.grad.numpy().reshape(2, 21, 3)
+
+    def loss(v, c):
+        return jnp.sum(gs.grid_sample_3d(v, c, padding_mode)
+                       * jnp.asarray(cot))
+
+    dv, dc = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(vol), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(dv), want_dv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dc), want_dc, rtol=1e-4, atol=1e-4)
+
+
+def test_grid_sample_grads_match_autodiff_bf16():
+    """bf16 features: the custom backward accumulates the splat in f32 and
+    casts once — values must still agree with torch's f32 grads to bf16
+    tolerance."""
+    from havatar_tpu.ops import grid_sample as gs
+    rng = np.random.RandomState(9)
+    feat = rng.randn(1, 9, 7, 4).astype(np.float32)
+    coords = (rng.rand(1, 65, 2).astype(np.float32) * 1.8 - 0.9)
+    cot = rng.randn(1, 65, 4).astype(np.float32)
+
+    tf = torch.from_numpy(np.moveaxis(feat, -1, 1)).requires_grad_(True)
+    tc = torch.from_numpy(coords).unsqueeze(-2)
+    out = F.grid_sample(tf, tc, mode="bilinear", padding_mode="zeros",
+                        align_corners=True)[..., 0].permute(0, 2, 1)
+    out.backward(torch.from_numpy(cot))
+    want_df = np.moveaxis(tf.grad.numpy(), 1, -1)
+
+    def loss(f):
+        out = gs.grid_sample_2d(f.astype(jnp.bfloat16),
+                                jnp.asarray(coords), "zeros")
+        return jnp.sum(out.astype(jnp.float32) * jnp.asarray(cot))
+
+    df = jax.grad(loss)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(df), want_df, rtol=0.05, atol=0.05)
+
+
 def test_sample_from_triplane_axis_convention():
     """Plane 0 reads (x,y), plane 1 reads (z,y) (utils/util.py:378-384)."""
     rng = np.random.RandomState(5)
