@@ -51,10 +51,13 @@ def build_renderer(cfg) -> AvatarRenderer:
         skin_vol_res=coarse.get("skin_vol_res", 64),
         feat_dim=cfg.models.StyleUnet.inp_ch,
         compute_dtype=cfg.models.get("compute_dtype", "float32"),
-        # training keeps the skinning volume f32 even under bf16 compute:
-        # its backward is a scatter-add, and bf16 scatter accumulation is
-        # ~2x slower than f32 (probe_bwd_pieces.py; docs/PERF.md)
-        skin_compute_dtype="float32",
+        # the skinning volume's gather dtype under bf16 compute. The custom
+        # grid-sample VJP accumulates its splat backward in f32 regardless
+        # of the volume dtype (ops/grid_sample.py — bf16 scatter lowers ~2x
+        # slower), so bf16 training can now take the 64 B-row fetch win
+        # that was previously inference-only; "float32" remains the default
+        # for exact-parity training.
+        skin_compute_dtype=cfg.models.get("skin_compute_dtype", "float32"),
         render_size=cfg.models.StyleUnet.inp_size,
         cond_res=cfg.dataset.cond_render_res,
         # fused Pallas field MLP (fwd AND bwd kernels — ops/pallas_mlp.py);

@@ -77,8 +77,14 @@ def main():
                              "stage2_pallas_mlp", "stage2_pallas_mlp_noremat",
                              "stage2_pallas_mlp_bf16_noremat",
                              "stage2_all_bf16_noremat",
+                             "stage2_skin_bf16_noremat",
                              "stage2_noremat"])
+    ap.add_argument("--sorted-scatter", action="store_true",
+                    help="sorted-scatter strategy in the grid-sample VJP")
     flags = ap.parse_args()
+    if flags.sorted_scatter:
+        from havatar_tpu.ops import grid_sample as _gs
+        _gs.SORTED_SCATTER = True
 
     from havatar_tpu.cli.common import resolve_config
     from havatar_tpu.train import stage1, stage2
@@ -152,6 +158,19 @@ def main():
         _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
                         key="stage2_dg_pallas_mlp_bf16_noremat_s",
                         set_cfg=_set, remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_skin_bf16_noremat":
+        # bf16 skin-volume GATHER in training (64 B rows fetch ~1.5x
+        # faster): unlocked by the custom grid-sample VJP, whose splat
+        # backward accumulates f32 regardless of the volume dtype
+        def _set_skin(c):
+            c.models.use_pallas_mlp = True
+            c.models.compute_dtype = "bfloat16"
+            c.models.skin_compute_dtype = "bfloat16"
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_skin_bf16_noremat_s",
+                        set_cfg=_set_skin, remat_render=False)
         print(json.dumps(res))
         return
     if flags.only == "stage2_all_bf16_noremat":

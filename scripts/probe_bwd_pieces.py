@@ -59,7 +59,12 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--n", type=int, default=3)
+    ap.add_argument("--sorted", action="store_true",
+                    help="sorted-scatter strategy in the custom VJP splat")
     flags = ap.parse_args()
+    if flags.sorted:
+        from havatar_tpu.ops import grid_sample as _gs
+        _gs.SORTED_SCATTER = True
     dt = jnp.dtype(flags.dtype)
 
     B, R, S, C, P = 2, 128 * 128, 80, 64, 128

@@ -89,6 +89,30 @@ def test_stage1_step_decreases_loss():
     assert float(jnp.abs(state.latent_codes).max()) > 0
 
 
+def test_stage1_step_skin_bf16():
+    """models.skin_compute_dtype=bfloat16: the skinning volume GATHER runs
+    bf16 (64 B rows) while the custom grid-sample VJP still accumulates the
+    splat backward in f32 (ops/grid_sample.py) — the step must run and
+    train."""
+    from havatar_tpu.train import stage1
+
+    cfg = tiny_cfg()
+    cfg.models.skin_compute_dtype = "bfloat16"
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    model, state = stage1.init_state(cfg, rng, num_frames=2,
+                                     example_batch=example)
+    assert model.skin_compute_dtype == "bfloat16"
+    step = stage1.make_train_step(model, cfg)
+    losses = []
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
 def test_stage1_pretrain_skinning_reduces_bce():
     from havatar_tpu.train import stage1
 
