@@ -52,6 +52,12 @@ class DoublePlaneNeRFField(nn.Module):
     # keeps activations VMEM-resident; the XLA path is ~6% MXU-utilized,
     # activation-bandwidth bound). Identical dtype contract; same params.
     use_pallas_mlp: bool = False
+    # fuse gather -> corner reduce -> dense chain under ONE custom_vjp
+    # (ops/pallas_mlp_quad.py): the TRAINING counterpart of the march
+    # kernels' quad-consuming input contract — removes the corner-einsum
+    # and MLP-input HBM round-trips from the stage-2 G step in both
+    # directions. Supersedes use_pallas_mlp when set. TPU only.
+    use_pallas_mlp_quad: bool = False
     # fc_rgbFeat width: the feature-image channel count fed to the SR net
     # (model/nerf_model.py:50 hardcodes 64; configurable here)
     feat_dim: int = 64
@@ -156,6 +162,23 @@ class DoublePlaneNeRFField(nn.Module):
     ) -> jnp.ndarray:
         """-> radiance field [B, N, rgb + feat + 1]."""
         cdt = jnp.dtype(self.compute_dtype)
+        if (self.use_pallas_mlp_quad and self.sh_deg == 0
+                and not self.is_initializing()):
+            from havatar_tpu.ops.pallas_mlp_quad import field_radiance_quad
+
+            warped = self.gridwarper(pts)
+            pe = positional_encoding(
+                pts, self.num_encoding_fn_xyz,
+                include_input=False).astype(jnp.float32)
+            prm = self.mlp_params()
+            # static python loop over the batch (same rationale as
+            # grid_sample_2d: batched gathers lower ~4x slower)
+            outs = [
+                field_radiance_quad("zeros", False, None, planes[0][b],
+                                    planes[1][b], warped[b], pe[b], prm)
+                for b in range(pts.shape[0])
+            ]
+            return jnp.stack(outs, 0)
         x = self.field_inputs(pts, planes)
         if (self.use_pallas_mlp and self.sh_deg == 0
                 and not self.is_initializing()):

@@ -60,7 +60,11 @@ class AvatarRenderer(nn.Module):
     # 0.083 s vs 0.045 s at the stage-2 operating point). The volume is
     # 64³ — its fetch bandwidth is negligible either way.
     skin_compute_dtype: Optional[str] = None
-    use_pallas_mlp: bool = False     # fused field MLP (inference only)
+    use_pallas_mlp: bool = False     # fused field MLP (fwd + bwd kernels)
+    # fused gather->corner-reduce->MLP custom_vjp (ops/pallas_mlp_quad.py):
+    # the training counterpart of the quad-consuming march kernels.
+    # Supersedes use_pallas_mlp. TPU only.
+    use_pallas_mlp_quad: bool = False
     # fully-fused field+composite march kernels (ops/pallas_march.py):
     # radiance never round-trips HBM. Inference only (no perturb/noise/rng);
     # supersedes use_pallas_mlp when set.
@@ -84,6 +88,7 @@ class AvatarRenderer(nn.Module):
             feat_dim=self.feat_dim,
             compute_dtype=self.compute_dtype,
             use_pallas_mlp=self.use_pallas_mlp,
+            use_pallas_mlp_quad=self.use_pallas_mlp_quad,
         )
         # skinning volume bounds: XYZ bounds with Y_lo = 0.3 * Y_hi
         # (spec: model/nerf_trainer.py:29-33)

@@ -63,6 +63,8 @@ def build_renderer(cfg) -> AvatarRenderer:
         # fused Pallas field MLP (fwd AND bwd kernels — ops/pallas_mlp.py);
         # TPU-only: the kernels don't run uncompiled off-TPU
         use_pallas_mlp=bool(cfg.models.get("use_pallas_mlp", False)),
+        use_pallas_mlp_quad=bool(cfg.models.get("use_pallas_mlp_quad",
+                                                False)),
     )
 
 

@@ -78,6 +78,8 @@ def main():
                              "stage2_pallas_mlp_bf16_noremat",
                              "stage2_all_bf16_noremat",
                              "stage2_skin_bf16_noremat",
+                             "stage2_quad_noremat",
+                             "stage2_quad_allfast_noremat",
                              "stage2_noremat"])
     ap.add_argument("--sorted-scatter", action="store_true",
                     help="sorted-scatter strategy in the grid-sample VJP")
@@ -158,6 +160,28 @@ def main():
         _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
                         key="stage2_dg_pallas_mlp_bf16_noremat_s",
                         set_cfg=_set, remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_quad_noremat":
+        # quad-consuming fused MLP custom_vjp (ops/pallas_mlp_quad.py):
+        # gather -> corner reduce -> dense chain in one kernel each way
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_quad_noremat_s",
+                        set_cfg=lambda c: setattr(
+                            c.models, "use_pallas_mlp_quad", True),
+                        remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_quad_allfast_noremat":
+        # every training lever at once: quad custom_vjp + bf16 compute +
+        # bf16 skin gathers
+        def _set_fast(c):
+            c.models.use_pallas_mlp_quad = True
+            c.models.compute_dtype = "bfloat16"
+            c.models.skin_compute_dtype = "bfloat16"
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_quad_allfast_noremat_s",
+                        set_cfg=_set_fast, remat_render=False)
         print(json.dumps(res))
         return
     if flags.only == "stage2_skin_bf16_noremat":

@@ -27,4 +27,6 @@ run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat
 run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat --sorted-scatter
 run python scripts/bench_train.py --only stage2_pallas_mlp_noremat
 run python scripts/bench_train.py --only stage2_skin_bf16_noremat
+run python scripts/bench_train.py --only stage2_quad_noremat
+run python scripts/bench_train.py --only stage2_quad_allfast_noremat
 echo "=== queue done $(date -u) ===" >> "$log"
