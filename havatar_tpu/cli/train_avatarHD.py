@@ -62,6 +62,15 @@ def main() -> None:
                         "remat re-forward (0.79 -> 0.59 s/iter measured at "
                         "the reference operating point, docs/PERF.md). "
                         "Math-identical (grad-checked vs XLA autodiff)")
+    p.add_argument("--fused-quad", action="store_true",
+                   help="fuse gather -> corner reduce -> field MLP under "
+                        "one custom_vjp (ops/pallas_mlp_quad.py): the "
+                        "training counterpart of the inference march "
+                        "kernels' quad-consuming input contract — removes "
+                        "the corner-einsum and MLP-input HBM round-trips "
+                        "from the G step in both directions. Implies the "
+                        "no-remat graph like --fused-mlp; math-identical "
+                        "(oracle-tested, tests/test_pallas_mlp_quad.py)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 NeRF compute (matmul inputs + gather/"
                         "scatter tables; f32 accumulation, geometry, and "
@@ -75,6 +84,8 @@ def main() -> None:
     cfg = resolve_config(args.config)
     if args.fused_mlp:
         cfg.models.use_pallas_mlp = True
+    if args.fused_quad:
+        cfg.models.use_pallas_mlp_quad = True
     if args.bf16:
         cfg.models.compute_dtype = "bfloat16"
     rng = seed_everything(cfg.experiment.randomseed)
@@ -147,7 +158,7 @@ def main() -> None:
               + "=" * 70, flush=True)
     d_step, r1_step, g_step, dg_step = stage2.make_steps(
         cfg, renderer, generator, discriminator, lpips_params=lpips_params,
-        remat_render=not args.fused_mlp)
+        remat_render=not (args.fused_mlp or args.fused_quad))
 
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
                                  save_interval_steps=cfg.experiment.save_every)
