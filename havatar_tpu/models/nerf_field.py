@@ -174,7 +174,7 @@ class DoublePlaneNeRFField(nn.Module):
             # static python loop over the batch (same rationale as
             # grid_sample_2d: batched gathers lower ~4x slower)
             outs = [
-                field_radiance_quad("zeros", False, None, planes[0][b],
+                field_radiance_quad("zeros", None, None, planes[0][b],
                                     planes[1][b], warped[b], pe[b], prm)
                 for b in range(pts.shape[0])
             ]

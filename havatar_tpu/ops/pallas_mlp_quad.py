@@ -279,16 +279,10 @@ def _tile_for(dtype, tile: Optional[int]) -> int:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def field_radiance_quad(padding_mode: str, interpret: bool,
-                        tile: Optional[int], plane_xy: jnp.ndarray,
-                        plane_zy: jnp.ndarray, warped: jnp.ndarray,
-                        pe: jnp.ndarray, params: Dict) -> jnp.ndarray:
-    """One batch item: [H, W, C] x2 planes, [N, 3] box-warped coords,
-    [N, n_pe] f32 posenc -> [N, rgb+feat+1] f32 radiance.
-
-    Forward = quad gather (XLA) + fused corner-reduce+MLP kernel. The
-    custom backward re-gathers, runs the fused bwd kernel, and splats
-    d(planes) in f32 (see module docstring)."""
+def _frq_vjp(padding_mode: str, interpret: bool,
+             tile: Optional[int], plane_xy: jnp.ndarray,
+             plane_zy: jnp.ndarray, warped: jnp.ndarray,
+             pe: jnp.ndarray, params: Dict) -> jnp.ndarray:
     H, W, C = plane_xy.shape
     n_pe = pe.shape[1]
     t = _tile_for(plane_xy.dtype, tile)
@@ -302,8 +296,8 @@ def field_radiance_quad(padding_mode: str, interpret: bool,
 
 def _frq_fwd(padding_mode, interpret, tile, plane_xy, plane_zy, warped, pe,
              params):
-    out = field_radiance_quad(padding_mode, interpret, tile, plane_xy,
-                              plane_zy, warped, pe, params)
+    out = _frq_vjp(padding_mode, interpret, tile, plane_xy,
+                   plane_zy, warped, pe, params)
     return out, (plane_xy, plane_zy, warped, pe, params)
 
 
@@ -362,4 +356,24 @@ def _frq_bwd(padding_mode, interpret, tile, res, g):
     return dplane_xy, dplane_zy, dwarped, dpe, dparams
 
 
-field_radiance_quad.defvjp(_frq_fwd, _frq_bwd)
+_frq_vjp.defvjp(_frq_fwd, _frq_bwd)
+
+
+def field_radiance_quad(padding_mode: str, interpret: Optional[bool],
+                        tile: Optional[int], plane_xy: jnp.ndarray,
+                        plane_zy: jnp.ndarray, warped: jnp.ndarray,
+                        pe: jnp.ndarray, params: Dict) -> jnp.ndarray:
+    """One batch item: [H, W, C] x2 planes, [N, 3] box-warped coords,
+    [N, n_pe] f32 posenc -> [N, rgb+feat+1] f32 radiance.
+
+    Forward = quad gather (XLA) + fused corner-reduce+MLP kernel. The
+    custom backward re-gathers, runs the fused bwd kernel, and splats
+    d(planes) in f32 (see module docstring). ``interpret=None``
+    auto-selects interpreter mode on CPU (Mosaic needs a real TPU),
+    matching ops/pallas_march.py — so renderer paths built with
+    use_pallas_mlp_quad run unchanged in CPU tests and the multichip
+    dryrun."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    return _frq_vjp(padding_mode, bool(interpret), tile, plane_xy, plane_zy,
+                    warped, pe, params)

@@ -225,6 +225,48 @@ def test_stage2_fused_mlp_noremat_matches_default():
     assert float(jnp.abs(n_f - n_r).max()) <= 2.5 * lr
 
 
+@pytest.mark.slow
+def test_stage2_fused_quad_noremat_matches_default():
+    """`train_avatarHD.py --fused-quad` (use_pallas_mlp_quad: one custom_vjp
+    spanning gather -> corner reduce -> field MLP, ops/pallas_mlp_quad.py)
+    is loss-identical to the default XLA-field rematted dg_step — same
+    state, batch and rng through both (interpret mode on CPU)."""
+    from havatar_tpu.train import stage2
+
+    cfg = tiny_cfg()
+    cfg.models.StyleUnet.inp_size = 16
+    cfg.models.StyleUnet.out_size = 64
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng, R=16 * 16, gen_size=64, render_size=16)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    models, state = stage2.init_state(cfg, rng, num_frames=2,
+                                      example_batch=example)
+    _, _, _, dg_ref = stage2.make_steps(cfg, *models)
+
+    cfg_q = tiny_cfg()
+    cfg_q.models.StyleUnet.inp_size = 16
+    cfg_q.models.StyleUnet.out_size = 64
+    cfg_q.models.use_pallas_mlp_quad = True
+    models_q = stage2.build_models(cfg_q)
+    _, _, _, dg_quad = stage2.make_steps(cfg_q, *models_q,
+                                         remat_render=False)
+
+    step_rng = jax.random.PRNGKey(3)
+    state_r, m_ref = dg_ref(state, batch, step_rng)
+    state_q, m_quad = dg_quad(state, batch, step_rng)
+
+    for key in ("rgb_loss", "mask_loss", "nerf_loss", "g", "hr_l1", "d",
+                "real_score", "fake_score"):
+        np.testing.assert_allclose(float(m_quad[key]), float(m_ref[key]),
+                                   atol=2e-4, rtol=2e-3, err_msg=key)
+    n_r = jax.tree_util.tree_leaves(state_r.nerf_params)[0]
+    n_q = jax.tree_util.tree_leaves(state_q.nerf_params)[0]
+    n_0 = jax.tree_util.tree_leaves(state.nerf_params)[0]
+    assert float(jnp.abs(n_r - n_0).max()) > 0
+    lr = float(cfg.optimizer.lr)
+    assert float(jnp.abs(n_q - n_r).max()) <= 2.5 * lr
+
+
 def test_stage2_bf16_fast_step_runs():
     """The `--fused-mlp --bf16` CLI combination (bf16 NeRF compute +
     fused-MLP custom_vjp + no render remat — the fastest measured step,
