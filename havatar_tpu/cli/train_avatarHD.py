@@ -156,9 +156,17 @@ def main() -> None:
               "the G step (reference train_avatarHD.py:262-266) is DISABLED."
               "\nConvert them once with: python scripts/convert_lpips.py\n"
               + "=" * 70, flush=True)
+    # multi-chip + fused kernels: the render must go through shard_map
+    # (GSPMD cannot partition a Pallas custom call — train/stage2.py)
+    train_mesh = None
+    if jax.device_count() > 1 and (args.fused_mlp or args.fused_quad):
+        from havatar_tpu.parallel import make_mesh
+
+        train_mesh = make_mesh(("data",))
     d_step, r1_step, g_step, dg_step = stage2.make_steps(
         cfg, renderer, generator, discriminator, lpips_params=lpips_params,
-        remat_render=not (args.fused_mlp or args.fused_quad))
+        remat_render=not (args.fused_mlp or args.fused_quad),
+        mesh=train_mesh)
 
     ckpt_mgr = CheckpointManager(os.path.join(args.logdir, "checkpoints"),
                                  save_interval_steps=cfg.experiment.save_every)
@@ -213,7 +221,7 @@ def main() -> None:
     if jax.device_count() > 1:
         from havatar_tpu.parallel import auto_batch_shardings, make_mesh, replicated
 
-        mesh = make_mesh(("data",))
+        mesh = train_mesh if train_mesh is not None else make_mesh(("data",))
         shardings = auto_batch_shardings(
             mesh, {k: v for k, v in example.items() if k in keep})
         state = jax.device_put(state, replicated(mesh))

@@ -267,6 +267,52 @@ def test_stage2_fused_quad_noremat_matches_default():
     assert float(jnp.abs(n_q - n_r).max()) <= 2.5 * lr
 
 
+@pytest.mark.slow
+def test_stage2_quad_shard_map_matches_single_device():
+    """Multi-chip fast-step training: make_steps(mesh=...) routes the NeRF
+    render through shard_map over the ray axis so the Pallas kernels
+    survive on a mesh (train/stage2.py; the training counterpart of the
+    serving fix). With perturb=False / noise 0 the sharded dg step must be
+    loss-identical to the single-device one — kernels in interpret mode on
+    the 8-virtual-device CPU mesh."""
+    from havatar_tpu.parallel import make_mesh
+    from havatar_tpu.train import stage2
+
+    def mk_cfg():
+        cfg = tiny_cfg()
+        cfg.models.StyleUnet.inp_size = 16
+        cfg.models.StyleUnet.out_size = 64
+        cfg.models.use_pallas_mlp_quad = True
+        cfg.nerf.train.perturb = False
+        cfg.nerf.train.radiance_field_noise_std = 0.0
+        return cfg
+
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng, R=16 * 16, gen_size=64, render_size=16)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    cfg = mk_cfg()
+    models, state = stage2.init_state(cfg, rng, num_frames=2,
+                                      example_batch=example)
+    _, _, _, dg_single = stage2.make_steps(cfg, *models, remat_render=False)
+
+    mesh = make_mesh(("data",))
+    assert mesh.size == 8
+    _, _, _, dg_mesh = stage2.make_steps(mk_cfg(), *stage2.build_models(
+        mk_cfg()), remat_render=False, mesh=mesh)
+
+    step_rng = jax.random.PRNGKey(3)
+    state_s, m_s = dg_single(state, batch, step_rng)
+    state_m, m_m = dg_mesh(state, batch, step_rng)
+
+    for key in ("rgb_loss", "mask_loss", "nerf_loss", "g", "hr_l1", "d"):
+        np.testing.assert_allclose(float(m_m[key]), float(m_s[key]),
+                                   atol=1e-5, rtol=1e-5, err_msg=key)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.nerf_params),
+                    jax.tree_util.tree_leaves(state_m.nerf_params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_stage2_bf16_fast_step_runs():
     """The `--fused-mlp --bf16` CLI combination (bf16 NeRF compute +
     fused-MLP custom_vjp + no render remat — the fastest measured step,
