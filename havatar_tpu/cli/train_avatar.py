@@ -91,7 +91,17 @@ def main() -> None:
     if cfg.experiment.get("patch_rgb", False) and lpips_params is None:
         print("note: patch_rgb is on but no LPIPS weights found at "
               f"{args.lpips_weights}; the patch perceptual term is disabled")
-    train_step = stage1.make_train_step(model, cfg, lpips_params=lpips_params)
+    # multi-chip + fused kernels: the render must go through shard_map
+    # (GSPMD cannot partition a Pallas custom call — train/stage1.py)
+    train_mesh = None
+    if jax.device_count() > 1 and (cfg.models.get("use_pallas_mlp", False)
+                                   or cfg.models.get("use_pallas_mlp_quad",
+                                                     False)):
+        from havatar_tpu.parallel import make_mesh
+
+        train_mesh = make_mesh(("data",))
+    train_step = stage1.make_train_step(model, cfg, lpips_params=lpips_params,
+                                        mesh=train_mesh)
 
     # validation set: full images at native resolution
     # (spec: train_avatar.py:63-66,182-300)
@@ -164,7 +174,7 @@ def main() -> None:
     if jax.device_count() > 1:
         from havatar_tpu.parallel import auto_batch_shardings, make_mesh, replicated
 
-        mesh = make_mesh(("data",))
+        mesh = train_mesh if train_mesh is not None else make_mesh(("data",))
         shardings = auto_batch_shardings(
             mesh, {k: v for k, v in example.items() if k in keep})
         state = jax.device_put(state, replicated(mesh))

@@ -103,19 +103,74 @@ def init_state(cfg, rng: jax.Array, num_frames: int,
 
 
 def make_loss_fn(model: AvatarRenderer, cfg,
-                 lpips_params: Optional[Any] = None):
+                 lpips_params: Optional[Any] = None,
+                 mesh=None):
     """The stage-1 loss as a pure fn(trainable, buffers, batch, rng) ->
     (loss, metrics). Public so sharding oracles (``__graft_entry__``) can
     compare raw gradients — post-Adam params are scale-invariant on the
-    first step and would hide a wrong cross-device mean."""
+    first step and would hide a wrong cross-device mean.
+
+    ``mesh``: optional Mesh with a ``data`` axis — routes the render
+    through ``jax.shard_map`` over the ray axis so the fused Pallas kernels
+    survive multi-chip, with the plane generators (and patch-LPIPS) run
+    manually replicated. Same design and rationale as stage2.make_steps;
+    per-shard perturb/noise keys are folded with the device index."""
     nerf_cfg = cfg.nerf.train
     mask_weight = cfg.experiment.mask_weight
     use_patch = bool(cfg.experiment.get("patch_rgb", False)) and lpips_params is not None
     use_l1 = cfg.experiment.rgb_loss != "mse"
+    shard_render = mesh is not None and mesh.size > 1
+
+    if shard_render:
+        from jax.sharding import PartitionSpec as P
+
+        def _rep(fn):
+            return jax.shard_map(fn, mesh=mesh, in_specs=P(), out_specs=P(),
+                                 check_vma=False)
+    else:
+        def _rep(fn):
+            return fn
 
     def rgb_loss_fn(a, b):
         return (jnp.mean(jnp.abs(a - b)) if use_l1
                 else jnp.mean(jnp.square(a - b)))
+
+    def _gen_planes_m(m, latent, inv_T, front, left, right):
+        cond_c = inv_T.reshape(latent.shape[0], -1)
+        return m.field.generate_planes(latent, cond_c, front, left, right)
+
+    def _render_sharded(nerf_vars, batch, latent, rng):
+        from havatar_tpu.models.renderer import AvatarRenderer as AR
+
+        rays = batch["mv_rays"]
+        assert rays.shape[1] % mesh.size == 0, (rays.shape, mesh.size)
+        planes = _rep(lambda v, lat, it, f, l, r: model.apply(
+            v, lat, it, f, l, r, method=_gen_planes_m))(
+                nerf_vars, latent, batch["inv_head_T"],
+                batch["front_render_cond"], batch["left_render_cond"],
+                batch["right_render_cond"])
+
+        def march(nerf_vars, planes, rays8, bg, inv_T, rng):
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+            return model.apply(
+                nerf_vars, planes, rays8, bg, inv_T,
+                num_coarse=nerf_cfg.num_coarse, num_fine=nerf_cfg.num_fine,
+                perturb=bool(nerf_cfg.perturb),
+                radiance_field_noise_std=float(
+                    nerf_cfg.radiance_field_noise_std),
+                rng=rng, method=AR.render_rays)
+
+        from jax.sharding import PartitionSpec as P
+        sh = P(None, "data")
+        # every render_rays output is [B, R, ...] — one spec broadcasts
+        # over the whole output pytree (None leaves are empty subtrees)
+        return jax.shard_map(
+            march, mesh=mesh,
+            in_specs=(P(), P(), sh, sh, P(), P()),
+            out_specs=sh,
+            check_vma=False,
+        )(nerf_vars, planes, rays[..., :8], rays[..., 8:11],
+          batch["inv_head_T"], rng)
 
     def loss_fn(trainable, buffers, batch, rng):
         params, latent_codes = trainable
@@ -123,15 +178,20 @@ def make_loss_fn(model: AvatarRenderer, cfg,
         ray_mask = rays[..., -1:]
         latent = latent_codes[batch["dataset_idx"]]
 
-        out = model.apply(
-            {"params": params, "buffers": buffers},
-            rays[..., :8], rays[..., 8:11], latent, batch["inv_head_T"],
-            batch["front_render_cond"], batch["left_render_cond"],
-            batch["right_render_cond"],
-            num_coarse=nerf_cfg.num_coarse, num_fine=nerf_cfg.num_fine,
-            perturb=bool(nerf_cfg.perturb),
-            radiance_field_noise_std=float(nerf_cfg.radiance_field_noise_std),
-            rng=rng)
+        if shard_render:
+            out = _render_sharded({"params": params, "buffers": buffers},
+                                  batch, latent, rng)
+        else:
+            out = model.apply(
+                {"params": params, "buffers": buffers},
+                rays[..., :8], rays[..., 8:11], latent, batch["inv_head_T"],
+                batch["front_render_cond"], batch["left_render_cond"],
+                batch["right_render_cond"],
+                num_coarse=nerf_cfg.num_coarse, num_fine=nerf_cfg.num_fine,
+                perturb=bool(nerf_cfg.perturb),
+                radiance_field_noise_std=float(
+                    nerf_cfg.radiance_field_noise_std),
+                rng=rng)
 
         target = batch["gt_color"]
         coarse_loss = rgb_loss_fn(out["rgb_coarse"][..., :3], target)
@@ -154,7 +214,7 @@ def make_loss_fn(model: AvatarRenderer, cfg,
                    else out["rgb_coarse"])[..., :3]
             B, R = rgb.shape[:2]
             ps = int(R ** 0.5)
-            patch_loss = lpips_loss(
+            patch_loss = _rep(lpips_loss)(
                 lpips_params, rgb.reshape(B, ps, ps, 3),
                 target.reshape(B, ps, ps, 3))
             loss = loss + 0.05 * patch_loss
@@ -178,10 +238,13 @@ def make_loss_fn(model: AvatarRenderer, cfg,
 
 
 def make_train_step(model: AvatarRenderer, cfg,
-                    lpips_params: Optional[Any] = None):
-    """Returns a jitted train_step(state, batch, rng) -> (state, metrics)."""
+                    lpips_params: Optional[Any] = None,
+                    mesh=None):
+    """Returns a jitted train_step(state, batch, rng) -> (state, metrics).
+    ``mesh``: see make_loss_fn — shard_map render route for the fused
+    Pallas kernel paths on multi-chip."""
     opt = make_optimizer(cfg)
-    loss_fn = make_loss_fn(model, cfg, lpips_params)
+    loss_fn = make_loss_fn(model, cfg, lpips_params, mesh=mesh)
 
     @jax.jit
     def train_step(state: TrainState, batch, rng):

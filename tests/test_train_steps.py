@@ -113,6 +113,38 @@ def test_stage1_step_skin_bf16():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
+def test_stage1_quad_shard_map_matches_single_device():
+    """Stage-1 analogue of the stage-2 mesh test: make_train_step(mesh=...)
+    routes the render through shard_map over the ray axis (quad kernels in
+    interpret mode); with perturb off the sharded step equals the
+    single-device one."""
+    from havatar_tpu.parallel import make_mesh
+    from havatar_tpu.train import stage1
+
+    cfg = tiny_cfg()
+    cfg.models.use_pallas_mlp_quad = True
+    cfg.nerf.train.perturb = False
+    cfg.nerf.train.radiance_field_noise_std = 0.0
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng)  # R=16 rays, divides the 8-device mesh
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    model, state = stage1.init_state(cfg, rng, num_frames=2,
+                                     example_batch=example)
+    step_s = stage1.make_train_step(model, cfg)
+    step_m = stage1.make_train_step(model, cfg, mesh=make_mesh(("data",)))
+
+    st_s, m_s = step_s(state, batch, jax.random.PRNGKey(5))
+    st_m, m_m = step_m(state, batch, jax.random.PRNGKey(5))
+    for key in ("loss", "coarse_loss", "fine_loss", "mask_coarse_loss"):
+        np.testing.assert_allclose(float(m_m[key]), float(m_s[key]),
+                                   atol=1e-5, rtol=1e-5, err_msg=key)
+    for a, b in zip(jax.tree_util.tree_leaves(st_s.params),
+                    jax.tree_util.tree_leaves(st_m.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-4, rtol=1e-3)
+
+
 def test_stage1_pretrain_skinning_reduces_bce():
     from havatar_tpu.train import stage1
 
