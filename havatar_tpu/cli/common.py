@@ -22,16 +22,22 @@ def resolve_config(path_or_name: str) -> CfgNode:
     raise FileNotFoundError(f"config not found: {path_or_name}")
 
 
-def seed_everything(seed: int) -> jax.Array:
-    # HAVATAR_PLATFORM=cpu forces the CPU backend (useful for smoke runs —
-    # this image's sitecustomize pins the TPU platform regardless of
-    # JAX_PLATFORMS)
+def apply_platform_override() -> None:
+    """HAVATAR_PLATFORM=cpu forces the CPU backend (useful for smoke runs —
+    this image's sitecustomize pins the TPU platform regardless of
+    JAX_PLATFORMS). Must run before the first device use: if the pinned
+    TPU backend is unreachable, ANY jax device use before the override
+    raises 'Unable to initialize backend'."""
     platform = os.environ.get("HAVATAR_PLATFORM")
     if platform:
         try:
             jax.config.update("jax_platforms", platform)
         except Exception:
             pass
+
+
+def seed_everything(seed: int) -> jax.Array:
+    apply_platform_override()
     np.random.seed(seed)
     return jax.random.PRNGKey(seed)
 

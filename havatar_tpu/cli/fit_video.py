@@ -57,6 +57,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from havatar_tpu.cli.common import apply_platform_override
+
+    apply_platform_override()
+
     from havatar_tpu.preprocess import faceverse as fv
     from havatar_tpu.preprocess import fitting, landmarks, matting, video
     from havatar_tpu.preprocess.pipeline import (

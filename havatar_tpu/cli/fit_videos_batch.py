@@ -115,6 +115,9 @@ def render_fvmask(model, coeffs: np.ndarray, intr, tar_size: int) -> np.ndarray:
 
 
 def main() -> None:
+    from havatar_tpu.cli.common import apply_platform_override
+
+    apply_platform_override()
     p = argparse.ArgumentParser()
     p.add_argument("--videos_root", type=str, required=True,
                    help="root containing one frame-folder per video")
