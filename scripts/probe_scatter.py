@@ -59,11 +59,25 @@ def main():
     flags = ap.parse_args()
 
     rng = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(rng)
+    k1, k2, k3 = jax.random.split(rng, 3)
     idx = jax.random.randint(k1, (N,), 0, M, dtype=jnp.int32)
     idx_sorted = jnp.sort(idx)
     upd = jax.random.normal(k2, (N, C4), dtype=jnp.float32)
     upd_bf16 = upd.astype(jnp.bfloat16)
+
+    # production-shaped COHERENT indices: 128² rays x 80 samples marching
+    # through a 127x127 cell grid (neighboring rays/samples hit nearby
+    # cells — the real splat's locality, which the random case understates)
+    R, S = 128 * 128, 80
+    u = (jnp.arange(R) % 128).astype(jnp.float32) / 128.0
+    v = (jnp.arange(R) // 128).astype(jnp.float32) / 128.0
+    t = jnp.arange(S, dtype=jnp.float32) / S
+    x = u[:, None] * 0.7 + 0.15 + 0.12 * t[None, :]
+    y = v[:, None] * 0.7 + 0.15 + 0.08 * t[None, :]
+    x = x + jax.random.uniform(k3, (R, S)) * 0.01
+    x0 = jnp.clip((x * 126).astype(jnp.int32), 0, 125)
+    y0 = jnp.clip((y * 126).astype(jnp.int32), 0, 125)
+    idx_coh = (y0 * 127 + x0).reshape(-1)          # ray-major [R*S]
 
     res = {"n_updates": N, "table_rows": M, "lanes": C4}
 
@@ -115,13 +129,37 @@ def main():
         t = jnp.zeros((16384, C4), jnp.float32).at[ix].add(upd)
         return consume(t)
 
+    def coh_base(i):
+        ix = (idx_coh + i) % M
+        t = jnp.zeros((M, C4), jnp.float32).at[ix].add(upd)
+        return consume(t)
+
+    def coh_smajor(i):
+        # static sample-major reorder: consecutive updates = consecutive
+        # RAYS at the same depth (stronger cell locality, no sort needed)
+        ix = ((idx_coh + i) % M).reshape(R, S).T.reshape(-1)
+        up = upd.reshape(R, S, C4).transpose(1, 0, 2).reshape(-1, C4)
+        t = jnp.zeros((M, C4), jnp.float32).at[ix].add(up)
+        return consume(t)
+
+    def coh_sorted_pipe(i):
+        ix = (idx_coh + i) % M
+        sk, perm = jax.lax.sort_key_val(ix, jnp.arange(N, dtype=jnp.int32))
+        su = jnp.take(upd, perm, axis=0)
+        t = jnp.zeros((M, C4), jnp.float32).at[sk].add(
+            su, indices_are_sorted=True)
+        return consume(t)
+
     for name, fn in [("base", base), ("narrow64", narrow64),
                      ("sorted_flag", sorted_flag),
                      ("sorted_noflag", sorted_noflag),
                      ("sorted_pipe", sorted_pipe),
                      ("bf16", bf16),
                      ("collide_all", collide_all),
-                     ("pad_m", pad_m)]:
+                     ("pad_m", pad_m),
+                     ("coh_base", coh_base),
+                     ("coh_smajor", coh_smajor),
+                     ("coh_sorted_pipe", coh_sorted_pipe)]:
         res[name + "_s"] = round(scan_time(fn, n=flags.n), 4)
         print(json.dumps({name: res[name + "_s"]}), flush=True)
 

@@ -22,6 +22,7 @@ run() {
 }
 
 run python scripts/probe_bwd_pieces.py --dtype float32
+run python scripts/probe_scatter.py
 run python scripts/probe_bwd_pieces.py --dtype float32 --sorted
 run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat
 run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat --sorted-scatter
