@@ -30,4 +30,5 @@ run python scripts/bench_train.py --only stage2_pallas_mlp_noremat
 run python scripts/bench_train.py --only stage2_skin_bf16_noremat
 run python scripts/bench_train.py --only stage2_quad_noremat
 run python scripts/bench_train.py --only stage2_quad_allfast_noremat
+run python bench.py
 echo "=== queue done $(date -u) ===" >> "$log"
