@@ -78,7 +78,21 @@ def main() -> None:
                         "differ from the f32 reference. With --fused-mlp "
                         "this is the fastest measured step (0.54 s/iter vs "
                         "0.97 baseline, docs/PERF.md)")
+    p.add_argument("--sorted-scatter", action="store_true",
+                   help="sort the backward splats (plane/volume gradient "
+                        "scatter-adds) by destination row before scattering "
+                        "(ops/grid_sample.py SORTED_SCATTER). A/B'd by "
+                        "scripts/probe_scatter.py; measured numbers in "
+                        "docs/PERF.md")
+    p.add_argument("--turbo", action="store_true",
+                   help="every measured training speed lever at once: "
+                        "--fast-step --fused-quad --bf16 (fastest measured "
+                        "combination, docs/PERF.md). Numerics differ from "
+                        "the f32 reference only via bf16 compute; the quad "
+                        "custom_vjp itself is math-identical")
     args = p.parse_args()
+    if args.turbo:
+        args.fast_step = args.fused_quad = args.bf16 = True
 
     install_preemption()
     cfg = resolve_config(args.config)
@@ -88,6 +102,9 @@ def main() -> None:
         cfg.models.use_pallas_mlp_quad = True
     if args.bf16:
         cfg.models.compute_dtype = "bfloat16"
+    if args.sorted_scatter:
+        from havatar_tpu.ops import grid_sample as _gs
+        _gs.SORTED_SCATTER = True
     rng = seed_everything(cfg.experiment.randomseed)
     render_size = cfg.models.StyleUnet.inp_size
     gen_size = cfg.models.StyleUnet.out_size

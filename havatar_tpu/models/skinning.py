@@ -155,7 +155,14 @@ class SkinningField(nn.Module):
             p = jnp.matmul(pts + T[:, -1:], T[:, :3, :3],
                            precision=lax.Precision.HIGHEST)
             pts_inv.append(p)
-            w = grid_sample_3d(vol[..., i:i + 1], self.warp(p), padding_mode="border")
+            # coords_grad=False: the lookup points are box-warped ray
+            # samples — data, never differentiated (training losses take
+            # grads wrt params only). The fixed-coords VJP drops the row
+            # re-gather + coords weight chain from the backward
+            # (scripts/probe_bwd_pieces.py: +77 ms/step of dead work at the
+            # stage-2 operating point otherwise).
+            w = grid_sample_3d(vol[..., i:i + 1], self.warp(p),
+                               padding_mode="border", coords_grad=False)
             weights.append(w)
         w = jnp.concatenate(weights, axis=-1).astype(pts.dtype)  # [B, N, 2]
         w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-8)
@@ -174,7 +181,8 @@ class SkinningField(nn.Module):
         """Sample one weight channel at [N, 3] world points (debug/pretrain)."""
         vol = self.canonical_volume()
         return grid_sample_3d(
-            vol[..., channel:channel + 1], self.warp(pts[None]), "border"
+            vol[..., channel:channel + 1], self.warp(pts[None]), "border",
+            coords_grad=False,  # pretrain queries at fixed grid points
         )[0]
 
 

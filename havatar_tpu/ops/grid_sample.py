@@ -317,6 +317,22 @@ def _gs3d_one_fwd(padding_mode, vol_dhwc, coords_n3):
     return _gs3d_one(padding_mode, vol_dhwc, coords_n3), (vol_dhwc, coords_n3)
 
 
+def _unpack_3d_grad(dpacked, D, H, W, C, TW, starts):
+    """Adjoint of ``_pack_3d``: fold the packed-table gradient back onto the
+    dense volume (4 shifted adds + overlapping x-tile accumulation)."""
+    n_tiles = len(starts)
+    q = dpacked.reshape(D - 1, H - 1, n_tiles, 4, TW, C)
+    dtiles = jnp.zeros((D, H, n_tiles, TW, C), jnp.float32)
+    dtiles = dtiles.at[:-1, :-1].add(q[:, :, :, 0])
+    dtiles = dtiles.at[:-1, 1:].add(q[:, :, :, 1])
+    dtiles = dtiles.at[1:, :-1].add(q[:, :, :, 2])
+    dtiles = dtiles.at[1:, 1:].add(q[:, :, :, 3])
+    dvol = jnp.zeros((D, H, W, C), jnp.float32)
+    for k, s in enumerate(starts):  # overlapping x-tiles accumulate
+        dvol = dvol.at[:, :, s: s + TW].add(dtiles[:, :, k])
+    return dvol
+
+
 def _gs3d_one_bwd(padding_mode, res, g):
     vol_dhwc, coords_n3 = res
     D, H, W, C = vol_dhwc.shape
@@ -341,25 +357,56 @@ def _gs3d_one_bwd(padding_mode, res, g):
 
     drow = jnp.einsum("nkc,nw->nkwc", dval, wx_vec).reshape(-1, 4 * TW * C)
     dpacked = _splat_rows(drow, idx, (D - 1) * (H - 1) * n_tiles)
-    q = dpacked.reshape(D - 1, H - 1, n_tiles, 4, TW, C)
-    dtiles = jnp.zeros((D, H, n_tiles, TW, C), jnp.float32)
-    dtiles = dtiles.at[:-1, :-1].add(q[:, :, :, 0])
-    dtiles = dtiles.at[:-1, 1:].add(q[:, :, :, 1])
-    dtiles = dtiles.at[1:, :-1].add(q[:, :, :, 2])
-    dtiles = dtiles.at[1:, 1:].add(q[:, :, :, 3])
-    dvol = jnp.zeros((D, H, W, C), jnp.float32)
-    for k, s in enumerate(starts):  # overlapping x-tiles accumulate
-        dvol = dvol.at[:, :, s: s + TW].add(dtiles[:, :, k])
+    dvol = _unpack_3d_grad(dpacked, D, H, W, C, TW, starts)
     return dvol.astype(vol_dhwc.dtype), dcoords.astype(coords_n3.dtype)
 
 
 _gs3d_one.defvjp(_gs3d_one_fwd, _gs3d_one_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gs3d_one_fc(padding_mode: str, vol_dhwc: jnp.ndarray,
+                 coords_n3: jnp.ndarray) -> jnp.ndarray:
+    """``_gs3d_one`` for FIXED coordinates: identical forward, but the
+    backward computes only d(volume) — no row re-gather and no coords
+    weight-chain. The skinning field always samples its canonical volume at
+    box-warped *ray points* (data, not params — models/skinning.py), where
+    the full VJP's dcoords chain measured +77 ms/step dead work at the
+    stage-2 operating point (scripts/probe_bwd_pieces.py, f32)."""
+    return _gs3d_one(padding_mode, vol_dhwc, coords_n3)
+
+
+def _gs3d_one_fc_fwd(padding_mode, vol_dhwc, coords_n3):
+    # residuals: coords only (vol is kept for static shape/dtype; its data
+    # is never read in the backward)
+    return _gs3d_one_fc(padding_mode, vol_dhwc, coords_n3), (vol_dhwc,
+                                                             coords_n3)
+
+
+def _gs3d_one_fc_bwd(padding_mode, res, g):
+    vol_dhwc, coords_n3 = res
+    D, H, W, C = vol_dhwc.shape
+    TW, stride, starts = _tile_geom_3d(W, C, jnp.dtype(vol_dhwc.dtype).itemsize)
+    n_tiles = len(starts)
+    idx = _idx_3d(coords_n3, D, H, W, padding_mode, stride, n_tiles)
+    wzy, wx_vec = _w_3d(coords_n3, D, H, W, padding_mode, TW, stride, n_tiles)
+    gf = g.astype(jnp.float32)
+    dval = wzy.astype(jnp.float32)[:, :, None] * gf[:, None, :]   # [N, 4, C]
+    drow = jnp.einsum("nkc,nw->nkwc", dval,
+                      wx_vec.astype(jnp.float32)).reshape(-1, 4 * TW * C)
+    dpacked = _splat_rows(drow, idx, (D - 1) * (H - 1) * n_tiles)
+    dvol = _unpack_3d_grad(dpacked, D, H, W, C, TW, starts)
+    return dvol.astype(vol_dhwc.dtype), jnp.zeros_like(coords_n3)
+
+
+_gs3d_one_fc.defvjp(_gs3d_one_fc_fwd, _gs3d_one_fc_bwd)
+
+
 def grid_sample_3d(
     vol: jnp.ndarray,
     coords: jnp.ndarray,
     padding_mode: str = "border",
+    coords_grad: bool = True,
 ) -> jnp.ndarray:
     """Sample [B, D, H, W, C] volume at [B, N, 3] normalized (x, y, z) coords.
 
@@ -368,11 +415,19 @@ def grid_sample_3d(
     z indexes D (reference utils/util.py:409-418). Custom VJP with a
     TPU-shaped splat backward (see ``_gs3d_one_bwd``); gradient math is
     identical to XLA autodiff.
+
+    ``coords_grad=False`` declares the coordinates non-differentiated (their
+    cotangent comes back zero): the backward is then just the d(volume)
+    splat — it skips the row re-gather and the coords weight chain, which
+    custom_vjp otherwise pins as live code even when the caller never uses
+    dcoords. Use for lookups at data points (e.g. the skinning volume at
+    box-warped ray samples).
     """
     assert padding_mode in ("zeros", "border")
     B = vol.shape[0]
+    one = _gs3d_one if coords_grad else _gs3d_one_fc
     return jnp.stack(
-        [_gs3d_one(padding_mode, vol[b], coords[b]) for b in range(B)], 0)
+        [one(padding_mode, vol[b], coords[b]) for b in range(B)], 0)
 
 
 def sample_from_triplane(

@@ -110,6 +110,20 @@ def main():
         return jnp.sum(jnp.abs(w0.astype(jnp.float32))
                        + jnp.abs(w1.astype(jnp.float32)))
 
+    def skin_loss_fc(v, c):
+        # coords_grad=False — the actual training path (models/skinning.py):
+        # backward is the splat alone, no re-gather / coords chain
+        w0 = grid_sample_3d(v[..., 0:1], c, "border", coords_grad=False)
+        w1 = grid_sample_3d(v[..., 0:1], c[:, ::-1], "border",
+                            coords_grad=False)
+        return jnp.sum(jnp.abs(w0.astype(jnp.float32))
+                       + jnp.abs(w1.astype(jnp.float32)))
+
+    def skin_dvol_fixed(i):
+        c = coords3 + i.astype(jnp.float32) * 1e-5
+        g = jax.grad(skin_loss_fc)(vol, c)
+        return jnp.sum(jnp.abs(g.astype(jnp.float32)))
+
     def skin_fwd(i):
         c = coords3 + i.astype(jnp.float32) * 1e-5
         return skin_loss(vol, c)
@@ -129,6 +143,7 @@ def main():
                      ("plane_dcoords", plane_dcoords),
                      ("skin_fwd", skin_fwd),
                      ("skin_dvol", skin_dvol),
+                     ("skin_dvol_fixed", skin_dvol_fixed),
                      ("skin_dcoords", skin_dcoords)]:
         res[name + "_s"] = round(scan_time(fn, n=flags.n), 4)
         print(json.dumps({name: res[name + "_s"]}), flush=True)

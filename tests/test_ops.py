@@ -165,6 +165,45 @@ def test_grid_sample_3d_grads_match_torch(padding_mode, sorted_scatter,
     np.testing.assert_allclose(np.asarray(dc), want_dc, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+@pytest.mark.parametrize("sorted_scatter", [False, True])
+def test_grid_sample_3d_fixed_coords_grads(padding_mode, sorted_scatter,
+                                           monkeypatch):
+    """coords_grad=False (the skinning-field path): forward identical to the
+    full sampler, d(volume) identical to torch autograd, d(coords) exactly
+    zero (declared non-differentiated)."""
+    from havatar_tpu.ops import grid_sample as gs
+    monkeypatch.setattr(gs, "SORTED_SCATTER", sorted_scatter)
+
+    rng = np.random.RandomState(11)
+    vol = rng.randn(2, 6, 5, 4, 3).astype(np.float32)
+    coords = (rng.rand(2, 21, 3).astype(np.float32) * 2.4 - 1.2)
+    cot = rng.randn(2, 21, 3).astype(np.float32)
+
+    tv = torch.from_numpy(np.moveaxis(vol, -1, 1)).requires_grad_(True)
+    tc = torch.from_numpy(coords).reshape(2, 21, 1, 1, 3)
+    out = F.grid_sample(tv, tc, mode="bilinear", padding_mode=padding_mode,
+                        align_corners=True)[:, :, :, 0, 0].permute(0, 2, 1)
+    out.backward(torch.from_numpy(cot))
+    want_dv = np.moveaxis(tv.grad.numpy(), 1, -1)
+
+    got = gs.grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
+                            padding_mode, coords_grad=False)
+    want_fwd = gs.grid_sample_3d(jnp.asarray(vol), jnp.asarray(coords),
+                                 padding_mode)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want_fwd))
+
+    def loss(v, c):
+        return jnp.sum(gs.grid_sample_3d(v, c, padding_mode,
+                                         coords_grad=False)
+                       * jnp.asarray(cot))
+
+    dv, dc = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(vol), jnp.asarray(coords))
+    np.testing.assert_allclose(np.asarray(dv), want_dv, rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(dc), np.zeros_like(coords))
+
+
 def test_grid_sample_grads_match_autodiff_bf16():
     """bf16 features: the custom backward accumulates the splat in f32 and
     casts once — values must still agree with torch's f32 grads to bf16
