@@ -270,11 +270,16 @@ def _w8(warped, H, W, padding_mode):
     ], axis=-1).astype(jnp.float32)
 
 
-def _tile_for(dtype, tile: Optional[int]) -> int:
+def _tile_for(dtype, tile: Optional[int], bwd: bool = False) -> int:
     if tile is not None:
         return tile
-    # bwd-dominant budget: per row ~ quads + dq(f32) + activations; bf16
-    # quads halve the input side. 16 MB scoped VMEM on v5e.
+    # The bwd kernel holds ~2.5x the fwd's per-row state (dq f32 rows +
+    # recomputed activations + weight-grad accumulators): at tile 1024/bf16
+    # the v5e compiler measures 19.03 MB scoped VMEM against the 16 MB
+    # limit (stack OOM at compile). Halve the auto tile in the backward;
+    # the kernel is bandwidth-bound, so the extra grid steps are free.
+    if bwd:
+        return 512 if jnp.dtype(dtype).itemsize <= 2 else 256
     return 1024 if jnp.dtype(dtype).itemsize <= 2 else 512
 
 
@@ -305,7 +310,7 @@ def _frq_bwd(padding_mode, interpret, tile, res, g):
     plane_xy, plane_zy, warped, pe, params = res
     H, W, C = plane_xy.shape
     n_pe = pe.shape[1]
-    t = _tile_for(plane_xy.dtype, tile)
+    t = _tile_for(plane_xy.dtype, tile, bwd=True)
 
     quads, idx_xy, idx_zy = _gather_quads(plane_xy, plane_zy, warped,
                                           padding_mode)
