@@ -106,6 +106,74 @@ def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
     return jax.jit(frame_fn)
 
 
+def make_frame_parallel_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
+                           num_coarse: int = 64, num_fine: int = 16,
+                           to_uint8: bool = False):
+    """Throughput-mode counterpart of ``make_sharded_frame_fn``: shard the
+    FRAME (batch) axis over ``mesh['data']`` instead of the ray axis.
+
+    Each device runs the COMPLETE per-frame pipeline — plane generation,
+    fused Pallas march, SR — on its ``B / n_devices`` frames, with ZERO
+    collectives (every stage of the reference pipeline,
+    avatarHD_reenactment.py:152-171, is per-frame independent). Latency per
+    frame equals single-chip latency, but aggregate throughput is exactly
+    ``n_devices ×`` single-chip fps — no all-gather, no replicated SR work.
+
+    Use this for offline / batch reenactment (the reference's dominant use:
+    re-rendering a whole driving sequence); use ``make_sharded_frame_fn``
+    (ray sharding) when single-frame latency matters (live driving).
+
+    Returns fn(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
+               front, left, right, style) with every per-frame input batched
+    on axis 0 (B divisible by mesh size) — place with
+    ``place_batch_inputs``. Weights/skin_vol are replicated.
+    """
+    ndev = mesh.size
+
+    def frame_fn(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
+                 front, left, right, style):
+        assert rays.shape[0] % ndev == 0, (rays.shape[0], ndev)
+
+        def run_frames(nerf_vars, sr_params, skin_vol, rays, bg, latent,
+                       inv_T, front, left, right, style):
+            planes = renderer.apply(nerf_vars, latent, inv_T, front, left,
+                                    right, method=_generate_planes)
+            rgb, acc = renderer.apply(nerf_vars, planes, rays, bg, inv_T,
+                                      skin_vol, num_coarse, num_fine,
+                                      method=_march)
+            s = renderer.render_size
+            render = rgb.reshape(rgb.shape[0], s, s, -1)
+            if sr is None:
+                return render
+            img = sr.apply({"params": sr_params}, [style], render[..., 3:])
+            if to_uint8:
+                img = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint8)
+            return img
+
+        batched = P("data")
+        return jax.shard_map(
+            run_frames,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), batched, batched, batched, batched,
+                      batched, batched, batched, batched),
+            out_specs=batched,
+            check_vma=False,
+        )(nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T,
+          front, left, right, style)
+
+    return jax.jit(frame_fn)
+
+
+def place_batch_inputs(mesh: Mesh, batched, replicated):
+    """Device-put helper for the frame-parallel path: ``batched`` inputs
+    shard on axis 0 over ``mesh['data']``; ``replicated`` go everywhere."""
+    b_sh = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    b = tuple(jax.device_put(x, b_sh) for x in batched)
+    r = tuple(jax.device_put(x, rep) for x in replicated)
+    return b + r
+
+
 def place_frame_inputs(mesh: Mesh, rays, bg, *replicated):
     """Device-put helper: rays/bg ray-sharded, the rest replicated."""
     ray_sh = NamedSharding(mesh, P(None, "data"))

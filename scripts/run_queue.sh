@@ -9,7 +9,7 @@ log=/tmp/tpu_queue.log
 echo "=== queue start $(date -u) ===" >> "$log"
 
 # wait for the relay
-until timeout 180 python -c "
+until timeout 900 python -c "
 import jax, jax.numpy as jnp, numpy as np
 np.asarray(jax.jit(lambda v: v*2+1)(jnp.arange(8.0)))
 print('relay OK')

@@ -9,7 +9,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from havatar_tpu.infer.serving import make_sharded_frame_fn, place_frame_inputs
+from havatar_tpu.infer.serving import (
+    make_frame_parallel_fn, make_sharded_frame_fn, place_batch_inputs,
+    place_frame_inputs)
 from havatar_tpu.models import AvatarRenderer, StyleUNetSR
 from havatar_tpu.models.renderer import AvatarRenderer as AR
 from havatar_tpu.parallel import make_mesh
@@ -118,3 +120,55 @@ def test_shard_map_keeps_pallas_march():
     # and the fused math stays within kernel tolerance of the XLA march
     np.testing.assert_allclose(np.asarray(got), np.asarray(want_xla),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_frame_parallel_matches_single_device():
+    """Throughput mode: 8 frames sharded one-per-device, each device running
+    the FULL pipeline (planes -> fused Pallas march -> SR) with zero
+    collectives, must equal the single-device batch."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(("data",))
+
+    renderer = AvatarRenderer(use_pallas_march=True, latent_code_dim=8,
+                              plane_feat_dim=16, plane_res=16, cond_res=32,
+                              plane_middle_size=4, feat_dim=16, render_size=8,
+                              skin_vol_res=8)
+    sr = StyleUNetSR(inp_size=8, inp_ch=16, out_ch=3, out_size=32,
+                     style_dim=16, n_mlp=2, middle_size=4,
+                     channel_multiplier=1)
+
+    B, R = 8, 64
+    rng = jax.random.PRNGKey(1)
+    k = iter(jax.random.split(rng, 10))
+    rays = jnp.concatenate([
+        jax.random.normal(next(k), (B, R, 2)) * 0.1,
+        jnp.full((B, R, 1), 3.0),
+        jax.random.normal(next(k), (B, R, 2)) * 0.05,
+        jnp.full((B, R, 1), -1.0),
+        jnp.full((B, R, 1), 1.4), jnp.full((B, R, 1), 4.0)], -1)
+    bg = jnp.ones((B, R, 3))
+    latent = jax.random.normal(next(k), (B, 8)) * 0.1
+    inv_T = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((1, 3))], 0), (B, 4, 3))
+    conds = [jax.random.uniform(next(k), (B, 32, 32, 7))] * 3
+    style = jax.random.normal(next(k), (B, 16)) * 0.1
+
+    nerf_vars = renderer.init(jax.random.PRNGKey(0), rays, bg, latent, inv_T,
+                              *conds, num_coarse=4, num_fine=2, perturb=False)
+    sr_vars = sr.init(jax.random.PRNGKey(0), style, jnp.zeros((B, 8, 8, 16)))
+    skin_vol = renderer.apply(nerf_vars, method=AR.skin_volume)
+
+    render, _ = renderer.apply(nerf_vars, rays, bg, latent, inv_T, *conds,
+                               num_coarse=4, num_fine=2, perturb=False,
+                               fixed_volume=skin_vol,
+                               method=AR.render_full_image)
+    want = sr.apply({"params": sr_vars["params"]}, [style], render[..., 3:])
+
+    fn = make_frame_parallel_fn(mesh, renderer, sr, num_coarse=4, num_fine=2)
+    rays_s, bg_s, lat, iT, f, l, r, st, nerf_v, sr_p, vol = place_batch_inputs(
+        mesh, (rays, bg, latent, inv_T, *conds, style),
+        (nerf_vars, sr_vars["params"], skin_vol))
+    got = fn(nerf_v, sr_p, vol, rays_s, bg_s, lat, iT, f, l, r, st)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
