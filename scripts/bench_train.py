@@ -80,6 +80,7 @@ def main():
                              "stage2_skin_bf16_noremat",
                              "stage2_quad_noremat",
                              "stage2_quad_allfast_noremat",
+                             "stage2_quad_gan_bf16_noremat",
                              "stage2_noremat"])
     ap.add_argument("--sorted-scatter", action="store_true",
                     help="sorted-scatter strategy in the grid-sample VJP")
@@ -207,6 +208,20 @@ def main():
         _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
                         key="stage2_dg_all_bf16_noremat_s",
                         set_cfg=_set_all, remat_render=False)
+        print(json.dumps(res))
+        return
+    if flags.only == "stage2_quad_gan_bf16_noremat":
+        # the full stack: quad custom_vjp + bf16 field compute + bf16 skin
+        # gathers + bf16 GAN nets — is the remaining f32 SR/D work worth
+        # casting once the NeRF side is saturated?
+        def _set_full(c):
+            c.models.use_pallas_mlp_quad = True
+            c.models.compute_dtype = "bfloat16"
+            c.models.skin_compute_dtype = "bfloat16"
+            c.models.gan_compute_dtype = "bfloat16"
+        _stage2_variant(cfg2, rng2, batch2, example2, cpu, dev, res,
+                        key="stage2_dg_quad_gan_bf16_noremat_s",
+                        set_cfg=_set_full, remat_render=False)
         print(json.dumps(res))
         return
     if flags.only == "stage2_noremat":
