@@ -11,8 +11,20 @@ face with per-point update budgets), and ``matrix_to_quaternion``
 follows the reference throughout: landmark rows are (y, x, conf) and the
 camera matrix is built to match that ordering (:651-653).
 
+This is a restructured implementation, not a transcription: the per-eye
+reconstruction loops are vectorized over both eyes, the random-search
+"loop" (whose reference run budget is 1) is straight-line code, and the
+candidate-acceptance bookkeeping works on the eligible subset directly
+instead of sentinel-filled 66-wide distance arrays. Numerics are preserved
+exactly — every quirk that affects output is kept and marked with a
+"parity:" comment (the swapped pupil interpolation weights, the f32
+round-trip in the pupil lift, the RNG draw happening before the pose gates,
+budget counters advancing even for points past the blend cap).
+
 ``FACE_3D`` is the reference's canonical face model (tracker.py:577-650) —
-model DATA, transcribed as-is.
+model DATA, transcribed as-is. The point-partition index lists used by the
+yaw-gated adaptation (tracker.py:426-430) are likewise data: they encode
+which landmarks belong to each half of the face.
 
 Oracle tests: tests/test_headpose.py drives the reference's own methods on
 stubbed objects and asserts agreement.
@@ -20,8 +32,7 @@ stubbed objects and asserts agreement.
 
 from __future__ import annotations
 
-import copy
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
@@ -102,6 +113,35 @@ FACE_3D = np.array([
 
 CONTOUR_PTS = (0, 1, 8, 15, 16, 27, 28, 29, 30, 31, 32, 33, 34, 35)
 
+# Eye geometry: (outer, inner) landmark ids per eye, and the pupil landmark
+# rows appended after the 66 face points.
+EYE_CORNERS = np.array([[36, 39], [42, 45]])
+PUPIL_ROWS = (66, 67)
+# Eyeball center sits 0.385 · corner-distance behind the corner midpoint
+# (12.5 mm eyeball radius vs a 30-35 mm palpebral width).
+EYEBALL_DEPTH_RATIO = 0.385
+
+# Yaw-gated adaptation point partitions (reference tracker.py:426-430 —
+# data: which landmark ids lie on each half of the face). When the head
+# yaws past the gate, only the far half's depths may adapt; the near half's
+# depth perturbations are suppressed.
+_DEPTH_FROZEN_WHEN_LOOKING = {
+    # euler[1] < -10
+    "left": [0, 1, 2, 3, 4, 5, 6, 7, 17, 18, 19, 20, 21, 31, 32,
+             36, 37, 38, 39, 40, 41, 48, 49, 56, 57, 58, 59, 65],
+    # euler[1] >= 20
+    "right": [9, 10, 11, 12, 13, 14, 15, 16, 22, 23, 24, 25, 26, 34, 35,
+              42, 43, 44, 45, 46, 47, 51, 52, 53, 54, 61, 62, 63],
+}
+_ADAPTABLE_WHEN_LOOKING = {
+    "left": [8, 9, 10, 11, 12, 13, 14, 15, 16, 22, 23, 24, 25, 26, 27, 28,
+             29, 33, 34, 35, 42, 43, 44, 45, 46, 47, 50, 51, 52, 53, 54, 55,
+             60, 61, 62, 63, 64],
+    "right": [0, 1, 2, 3, 4, 5, 6, 7, 8, 17, 18, 19, 20, 21, 27, 28, 29, 31,
+              32, 33, 36, 37, 38, 39, 40, 41, 48, 49, 50, 55, 56, 57, 58, 59,
+              60, 64, 65],
+}
+
 
 def matrix_to_quaternion(m: np.ndarray) -> np.ndarray:
     """Shepperd's rotation-matrix -> quaternion (branch on the largest
@@ -150,6 +190,45 @@ class HeadPoseEstimator:
         self.contour = np.array(self.face_3d[self.contour_pts],
                                 dtype=np.float64)
 
+    def _reset_personal_face(self):
+        """Discard the adapted model after repeated anomalous fits."""
+        self.face_3d = FACE_3D.copy()
+        self.rotation = None
+        self.translation = np.array([0.0, 0.0, 0.0], np.float32)
+        self.update_counts = np.zeros((66, 2))
+        self._update_contour()
+
+    # -- geometry helpers ---------------------------------------------------
+
+    def _solve_pose(self, image_pts: np.ndarray):
+        """solvePnP on the contour points, warm-started from the previous
+        frame's pose when one exists (spec tracker.py:766-776)."""
+        import cv2
+
+        if self.rotation is not None:
+            rvec0, tvec0 = self.rotation.T, self.translation.T
+        else:
+            rvec0 = np.array([0, 0, 0], np.float32)
+            tvec0 = np.array([0, 0, 0], np.float32)
+        return cv2.solvePnP(
+            self.contour, image_pts, self.camera, self.dist_coeffs,
+            useExtrinsicGuess=True, rvec=rvec0, tvec=tvec0,
+            flags=cv2.SOLVEPNP_ITERATIVE)
+
+    def _unproject(self, pix_h: np.ndarray, inv_rmat: np.ndarray
+                   ) -> np.ndarray:
+        """Homogeneous pixel coords (pixel · depth, depth) -> the canonical
+        face frame: undo K, the translation, then the rotation."""
+        cam_pts = pix_h @ self.inverse_camera.T - self.translation
+        return cam_pts @ inv_rmat.T
+
+    def _project_depths(self, pts: np.ndarray, rmat: np.ndarray
+                        ) -> np.ndarray:
+        """Camera-space depth of canonical-frame points under the current
+        pose, as seen through K (the z row of K is (0,0,1), so this is the
+        camera z after the rigid transform)."""
+        return ((pts @ rmat.T + self.translation) @ self.camera.T)[..., 2]
+
     # -- estimate_depth (spec tracker.py:762-858) --------------------------
 
     def estimate(self, lms66: np.ndarray, eye_state: np.ndarray):
@@ -158,27 +237,11 @@ class HeadPoseEstimator:
         pts_3d [70, 3], lms [70, 3])."""
         import cv2
 
-        lms = np.concatenate((
-            lms66,
-            np.array([[eye_state[0][1], eye_state[0][2], eye_state[0][3]],
-                      [eye_state[1][1], eye_state[1][2], eye_state[1][3]]],
-                     np.float64)), 0)
-        image_pts = np.array(lms)[self.contour_pts, 0:2]
+        pupil_rows = np.asarray(eye_state, np.float64)[:, 1:4]
+        lms = np.concatenate((lms66, pupil_rows), 0)
 
-        if self.rotation is not None:
-            success, rotation, translation = cv2.solvePnP(
-                self.contour, image_pts, self.camera, self.dist_coeffs,
-                useExtrinsicGuess=True, rvec=np.transpose(self.rotation),
-                tvec=np.transpose(self.translation),
-                flags=cv2.SOLVEPNP_ITERATIVE)
-        else:
-            rvec = np.array([0, 0, 0], np.float32)
-            tvec = np.array([0, 0, 0], np.float32)
-            success, rotation, translation = cv2.solvePnP(
-                self.contour, image_pts, self.camera, self.dist_coeffs,
-                useExtrinsicGuess=True, rvec=rvec, tvec=tvec,
-                flags=cv2.SOLVEPNP_ITERATIVE)
-
+        success, rotation, translation = self._solve_pose(
+            np.array(lms)[self.contour_pts, 0:2])
         pts_3d = np.zeros((70, 3), np.float32)
         if not success:
             self.rotation = np.array([0.0, 0.0, 0.0], np.float32)
@@ -193,66 +256,57 @@ class HeadPoseEstimator:
         self.translation = np.asarray(translation).reshape(3)
 
         rmat, _ = cv2.Rodrigues(rotation)
-        inverse_rotation = np.linalg.inv(rmat)
+        inv_rmat = np.linalg.inv(rmat)
 
-        t_reference = self.face_3d.dot(rmat.transpose()) + self.translation
-        t_reference = t_reference.dot(self.camera.transpose())
-        t_depth = t_reference[:, 2]
-        t_depth[t_depth == 0] = 0.000001
-        t_depth_e = t_depth[:, None]
-        t_reference = t_reference / t_depth_e
-        pts_3d[0:66] = (np.stack(
-            [lms[0:66, 0], lms[0:66, 1], np.ones((66,))], 1) * t_depth_e[0:66])
-        pts_3d[0:66] = (pts_3d[0:66].dot(self.inverse_camera.transpose())
-                        - self.translation).dot(inverse_rotation.transpose())
-        pnp_error = np.power(lms[0:17, 0:2] - t_reference[0:17, 0:2], 2).sum()
-        pnp_error += np.power(lms[30, 0:2] - t_reference[30, 0:2], 2).sum()
+        # lift the 66 observed landmarks to 3D at the depths the CURRENT
+        # personal face projects to under the fitted pose
+        proj = (self.face_3d @ rmat.T + self.translation) @ self.camera.T
+        depths = proj[:, 2].copy()
+        depths[depths == 0] = 0.000001
+        pix_h = np.stack([lms[0:66, 0], lms[0:66, 1], np.ones((66,))], 1)
+        # parity: the reference stages pixel·depth through the f32 pts_3d
+        # array before unprojecting (tracker.py:790-792) — keep the rounding
+        pts_3d[0:66] = self._unproject(
+            (pix_h * depths[0:66, None]).astype(np.float32), inv_rmat)
+
+        # reprojection error over the rigid contour region (jaw + nose)
+        expected = proj[:, 0:2] / depths[:, None]
+        pnp_error = np.power(lms[0:17, 0:2] - expected[0:17], 2).sum()
+        pnp_error += np.power(lms[30, 0:2] - expected[30], 2).sum()
         if np.isnan(pnp_error):
             pnp_error = 9999999.0
 
-        for i, _pt in enumerate(self.face_3d[66:70]):
-            if i == 2:
-                # eyeball centers: 0.385 · corner distance behind the
-                # corner midpoint (12.5 mm eyeball vs 30-35 mm eye width)
-                eye_center = (pts_3d[36] + pts_3d[39]) / 2.0
-                depth = 0.385 * np.linalg.norm(pts_3d[36] - pts_3d[39])
-                pts_3d[68] = np.array([eye_center[0], eye_center[1],
-                                       eye_center[2] - depth])
-                continue
-            if i == 3:
-                eye_center = (pts_3d[42] + pts_3d[45]) / 2.0
-                depth = 0.385 * np.linalg.norm(pts_3d[42] - pts_3d[45])
-                pts_3d[69] = np.array([eye_center[0], eye_center[1],
-                                       eye_center[2] - depth])
-                continue
-            if i == 0:
-                d1 = np.linalg.norm(lms[66, 0:2] - lms[36, 0:2])
-                d2 = np.linalg.norm(lms[66, 0:2] - lms[39, 0:2])
-                pt = (pts_3d[36] * d1 + pts_3d[39] * d2) / (d1 + d2)
-            else:
-                d1 = np.linalg.norm(lms[67, 0:2] - lms[42, 0:2])
-                d2 = np.linalg.norm(lms[67, 0:2] - lms[45, 0:2])
-                pt = (pts_3d[42] * d1 + pts_3d[45] * d2) / (d1 + d2)
-            reference = rmat.dot(pt) + self.translation
-            reference = self.camera.dot(reference)
-            depth = reference[2]
-            pt_3d = np.array([lms[66 + i][0] * depth,
-                              lms[66 + i][1] * depth, depth], np.float32)
-            pt_3d = self.inverse_camera.dot(pt_3d) - self.translation
-            pts_3d[66 + i, :] = inverse_rotation.dot(pt_3d)
+        # pupils, both eyes at once: interpolate a 3D anchor between the
+        # lifted eye corners, take its projected depth, lift the observed
+        # pupil pixel at that depth.
+        corners_3d = pts_3d[EYE_CORNERS]                       # [2, 2, 3]
+        corner_px = lms[EYE_CORNERS.reshape(-1), 0:2].reshape(2, 2, 2)
+        d = np.linalg.norm(lms[PUPIL_ROWS, None, 0:2] - corner_px, axis=-1)
+        # parity: the reference weights each corner by its OWN distance to
+        # the pupil (tracker.py:826-830) — the outer corner pulls harder the
+        # farther the pupil sits from it. Kept as-is.
+        anchor = (corners_3d * d[..., None]).sum(1) / d.sum(1)[:, None]
+        pup_depth = self._project_depths(anchor, rmat)
+        pup_h = np.concatenate(
+            [lms[PUPIL_ROWS, 0:2] * pup_depth[:, None], pup_depth[:, None]],
+            1).astype(np.float32)   # parity: reference rounds through f32
+        pts_3d[66:68] = self._unproject(pup_h, inv_rmat)
+
+        # eyeball centers, both eyes at once: behind the corner midpoint
+        mid = corners_3d.mean(1)
+        span = np.linalg.norm(corners_3d[:, 0] - corners_3d[:, 1], axis=-1)
+        offset = np.zeros((2, 3), np.float32)
+        offset[:, 2] = EYEBALL_DEPTH_RATIO * span
+        pts_3d[68:70] = mid - offset
+
         pts_3d[np.isnan(pts_3d).any(axis=1)] = np.array([0.0, 0.0, 0.0],
                                                         np.float32)
 
-        pnp_error = np.sqrt(pnp_error / (2.0 * image_pts.shape[0]))
+        pnp_error = np.sqrt(pnp_error / (2.0 * len(self.contour_pts)))
         if pnp_error > 300:
             self.fail_count += 1
             if self.fail_count > 5:
-                # anomalous personal-face fit: reset the adapted model
-                self.face_3d = FACE_3D.copy()
-                self.rotation = None
-                self.translation = np.array([0.0, 0.0, 0.0], np.float32)
-                self.update_counts = np.zeros((66, 2))
-                self._update_contour()
+                self._reset_personal_face()
         else:
             self.fail_count = 0
 
@@ -263,13 +317,16 @@ class HeadPoseEstimator:
     # -- normalize_pts3d (spec tracker.py:383-398) -------------------------
 
     def normalize_pts3d(self, pts_3d: np.ndarray) -> np.ndarray:
+        """Center on the nose tip, roll-align the nose bridge to vertical,
+        and rescale each axis to the canonical face's proportions."""
         pts_3d = pts_3d.copy()
-        pts_3d[:, 0:2] -= pts_3d[30, 0:2]
-        d = pts_3d[27, 0:2] - pts_3d[30, 0:2]
+        nose_tip, bridge_top = pts_3d[30], pts_3d[27]
+        pts_3d[:, 0:2] -= nose_tip[0:2]
+        d = bridge_top[0:2] - nose_tip[0:2]
         alpha = float(np.arctan2(d[1], d[0]) % (2 * np.pi)) - np.deg2rad(90)
-        R = np.array([[np.cos(alpha), -np.sin(alpha)],
-                      [np.sin(alpha), np.cos(alpha)]])
-        pts_3d[:, 0:2] = ((pts_3d - pts_3d[30])[:, 0:2].dot(R)
+        rot2d = np.array([[np.cos(alpha), -np.sin(alpha)],
+                          [np.sin(alpha), np.cos(alpha)]])
+        pts_3d[:, 0:2] = ((pts_3d - pts_3d[30])[:, 0:2] @ rot2d
                           + pts_3d[30, 0:2])
         pts_3d[:, 1] /= np.mean((pts_3d[27:30, 1] - pts_3d[28:31, 1])
                                 / self.base_scale_v)
@@ -283,96 +340,76 @@ class HeadPoseEstimator:
     def adjust(self, lms: np.ndarray, conf: float, euler: np.ndarray,
                pnp_error: float, static_model: bool = False,
                limit: bool = True) -> None:
-        """Random-search refinement of the personal 3D face toward the
-        observed landmarks, gated by pose and per-point update budgets."""
+        """One random-search proposal step refining the personal 3D face
+        toward the observed landmarks, gated by pose and per-point update
+        budgets. (The reference structures this as a loop with a run budget
+        of 1, tracker.py:405 — it IS a single proposal step.)"""
         import cv2
 
         if conf < 0.4 or pnp_error > 300 or static_model:
             return
-        eligible = np.delete(np.arange(0, 66), [30])
-        changed_any = False
-        update_type = -1
-        d_o = np.ones((66,))
-        d_c = np.ones((66,))
-        updated = None
-        o_projected = None
-        for runs in range(1):
-            r = 1.0 + np.random.random_sample((66, 3)) * 0.02 - 0.01
-            r[30, :] = 1.0
-            if -165 < euler[0] < 145:
-                continue
-            elif -10 < euler[1] < 20:
-                r[:, 2] = 1.0
-                update_type = 0
-            else:
-                r[:, 0:2] = 1.0
-                if euler[2] > 120 or euler[2] < 60:
-                    continue
-                elif euler[1] < -10:
-                    update_type = 1
-                    r[[0, 1, 2, 3, 4, 5, 6, 7, 17, 18, 19, 20, 21, 31, 32,
-                       36, 37, 38, 39, 40, 41, 48, 49, 56, 57, 58, 59, 65],
-                      2] = 1.0
-                    eligible = [8, 9, 10, 11, 12, 13, 14, 15, 16, 22, 23, 24,
-                                25, 26, 27, 28, 29, 33, 34, 35, 42, 43, 44,
-                                45, 46, 47, 50, 51, 52, 53, 54, 55, 60, 61,
-                                62, 63, 64]
-                else:
-                    update_type = 1
-                    r[[9, 10, 11, 12, 13, 14, 15, 16, 22, 23, 24, 25, 26,
-                       34, 35, 42, 43, 44, 45, 46, 47, 51, 52, 53, 54, 61,
-                       62, 63], 2] = 1.0
-                    eligible = [0, 1, 2, 3, 4, 5, 6, 7, 8, 17, 18, 19, 20,
-                                21, 27, 28, 29, 31, 32, 33, 36, 37, 38, 39,
-                                40, 41, 48, 49, 50, 55, 56, 57, 58, 59, 60,
-                                64, 65]
-            if limit:
-                eligible = np.nonzero(
-                    self.update_counts[:, update_type]
-                    < self.update_counts[:, abs(update_type - 1)]
-                    + self.update_count_delta)[0]
-                if eligible.shape[0] <= 0:
-                    break
-            if runs == 0:
-                updated = copy.copy(self.face_3d[0:66])
-                o_projected = np.ones((66, 2))
-                o_projected[eligible] = np.squeeze(np.array(cv2.projectPoints(
-                    self.face_3d[eligible], self.rotation, self.translation,
-                    self.camera, self.dist_coeffs)[0]), 1)
-            c = updated * r
-            c_projected = np.zeros((66, 2))
-            c_projected[eligible] = np.squeeze(np.array(cv2.projectPoints(
-                c[eligible], self.rotation, self.translation, self.camera,
-                self.dist_coeffs)[0]), 1)
-            changed = False
-            d_o[eligible] = np.linalg.norm(
-                o_projected[eligible] - lms[eligible, 0:2], axis=1)
-            d_c[eligible] = np.linalg.norm(
-                c_projected[eligible] - lms[eligible, 0:2], axis=1)
-            indices = np.nonzero(d_c < d_o)[0]
-            if indices.shape[0] > 0:
-                if limit:
-                    indices = np.intersect1d(indices, eligible)
-                if indices.shape[0] > 0:
-                    self.update_counts[indices, update_type] += 1
-                    updated[indices] = c[indices]
-                    o_projected[indices] = c_projected[indices]
-                    changed = True
-            changed_any = changed_any or changed
-            if not changed:
-                break
 
-        if changed_any:
-            weights = np.zeros((66, 3))
-            weights[:, :] = lms[0:66, 2:3]
-            weights[weights > 0.7] = 1.0
-            weights = 1.0 - weights
-            update_indices = np.arange(0, 66)
-            if limit:
-                update_indices = np.nonzero(
-                    self.update_counts[:, update_type]
-                    <= self.update_count_max)[0]
-            self.face_3d[update_indices] = (
-                self.face_3d[update_indices] * weights[update_indices]
-                + updated[update_indices] * (1.0 - weights[update_indices]))
-            self._update_contour()
+        # parity: the RNG draw precedes the pose gates (tracker.py:412), so
+        # a gated-out frame still consumes one (66, 3) sample.
+        scale = 1.0 + np.random.random_sample((66, 3)) * 0.02 - 0.01
+        scale[30, :] = 1.0   # the nose tip is the anchor — never perturbed
+
+        # pose gates: pick which axes may move and which points may adapt
+        if -165 < euler[0] < 145:
+            return                       # face not upright enough
+        if -10 < euler[1] < 20:
+            # near-frontal: adapt x/y only, symmetric budget column 0
+            scale[:, 2] = 1.0
+            budget_col = 0
+            adaptable = np.delete(np.arange(0, 66), [30])
+        else:
+            # strong yaw: adapt depth only, on the far half of the face
+            scale[:, 0:2] = 1.0
+            if euler[2] > 120 or euler[2] < 60:
+                return                   # roll out of range
+            side = "left" if euler[1] < -10 else "right"
+            scale[_DEPTH_FROZEN_WHEN_LOOKING[side], 2] = 1.0
+            budget_col = 1
+            adaptable = _ADAPTABLE_WHEN_LOOKING[side]
+
+        if limit:
+            # budget gate REPLACES the pose-derived point set (reference
+            # tracker.py:433): a point may only adapt while its count in
+            # this column stays within delta of the other column's count.
+            other = abs(budget_col - 1)
+            adaptable = np.nonzero(
+                self.update_counts[:, budget_col]
+                < self.update_counts[:, other] + self.update_count_delta)[0]
+            if adaptable.shape[0] <= 0:
+                return
+
+        adaptable = np.asarray(adaptable)
+        candidate = self.face_3d[0:66] * scale
+
+        def reproject(pts):
+            return np.squeeze(np.array(cv2.projectPoints(
+                pts, self.rotation, self.translation, self.camera,
+                self.dist_coeffs)[0]), 1)
+
+        target_px = lms[adaptable, 0:2]
+        base_err = np.linalg.norm(
+            reproject(self.face_3d[adaptable]) - target_px, axis=1)
+        cand_err = np.linalg.norm(
+            reproject(candidate[adaptable]) - target_px, axis=1)
+        accepted = adaptable[cand_err < base_err]
+        if accepted.shape[0] == 0:
+            return
+
+        # parity: budget counters advance for every accepted point, even
+        # ones already past the blend cap below (tracker.py:456).
+        self.update_counts[accepted, budget_col] += 1
+        if limit:
+            accepted = accepted[self.update_counts[accepted, budget_col]
+                                <= self.update_count_max]
+
+        # blend accepted candidates in, weighted by landmark confidence
+        # (confident points move fully; conf > 0.7 saturates to 1)
+        w = np.where(lms[accepted, 2:3] > 0.7, 1.0, lms[accepted, 2:3])
+        self.face_3d[accepted] = (self.face_3d[accepted] * (1.0 - w)
+                                  + candidate[accepted] * w)
+        self._update_contour()
