@@ -2,11 +2,15 @@
 ``data_preprocessing/fit_videos_mp.py``; SURVEY.md §2.5).
 
 The reference fans videos over 8 CPU processes, each stepping torch Adam
-per frame (fit_videos_mp.py:59-75). TPU-native redesign: frames are fitted
-in BATCHES via ``jax.vmap`` of the jitted fitting loop — one compiled program
-fits 64+ frames at once on the MXU — with host-side multiprocessing retained
-only for image/landmark IO. Resumability (finish/skip markers), no-face and
-small-face logs mirror the reference (fit_videos_mp.py:46-55,105-164).
+per frame (fit_videos_mp.py:59-75). TPU-native redesign: ONE device runs the
+jitted fitting loop (the fit itself is serial in time — temporal smoothness
+chains frames), and the host-side work — image decode + landmark detection,
+the part the reference's Pool actually parallelized usefully — fans out over
+an IO worker pool (``--io_workers``) that prefetches upcoming videos while
+the device fits the current one. Consumption order is deterministic (videos
+complete in submission order), so worker count never changes the outputs.
+Resumability (finish/skip markers) and the no-face log mirror the reference
+(fit_videos_mp.py:46-55,105-164).
 
 Usage:
   python -m havatar_tpu.cli.fit_videos_batch --videos_root R --save_root S \
@@ -18,7 +22,8 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, List, Optional
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -114,6 +119,57 @@ def render_fvmask(model, coeffs: np.ndarray, intr, tar_size: int) -> np.ndarray:
     return mask
 
 
+def load_video_landmarks(
+    vdir: str, frame_names: List[str], lms_root: str, name: str
+) -> Tuple[Optional[np.ndarray], Optional[str]]:
+    """IO stage for one video: decode every frame, run the landmark backend.
+    Returns (lms [T, L, 2-3], None) or (None, first_failed_frame). Runs on
+    an IO worker thread — cv2 decode releases the GIL, so workers overlap
+    with each other and with the device fit of the previous video."""
+    import cv2
+
+    from havatar_tpu.preprocess import landmarks
+
+    backend = (landmarks.PrecomputedBackend(os.path.join(lms_root, name))
+               if lms_root else landmarks.get_backend("mediapipe"))
+    lms_all = []
+    for f in frame_names:
+        img = cv2.cvtColor(cv2.imread(os.path.join(vdir, f)),
+                           cv2.COLOR_BGR2RGB)
+        if hasattr(backend, "set_frame"):
+            backend.set_frame(f.split(".")[0])
+        lms = backend.detect(img)
+        if lms is None:
+            return None, f
+        lms_all.append(lms)
+    return np.stack(lms_all), None
+
+
+def iter_videos_prefetched(pending: List[str], videos_root: str,
+                           lms_root: str, io_workers: int,
+                           prefetch: int = 2):
+    """Yield (name, frame_names, lms | None, failed_frame) in ``pending``
+    order while the pool works ``prefetch`` videos ahead."""
+    def frame_list(name):
+        vdir = os.path.join(videos_root, name)
+        return vdir, sorted(
+            (f for f in os.listdir(vdir) if f.endswith((".png", ".jpg"))),
+            key=lambda s: int(s.split(".")[0]))
+
+    with ThreadPoolExecutor(max_workers=io_workers) as pool:
+        queue = []
+        names = list(pending)
+        while names or queue:
+            while names and len(queue) <= prefetch:
+                name = names.pop(0)
+                vdir, frames = frame_list(name)
+                queue.append((name, frames, pool.submit(
+                    load_video_landmarks, vdir, frames, lms_root, name)))
+            name, frames, fut = queue.pop(0)
+            lms, failed = fut.result()
+            yield name, frames, lms, failed
+
+
 def main() -> None:
     from havatar_tpu.cli.common import apply_platform_override
 
@@ -139,13 +195,17 @@ def main() -> None:
                    help="also save landmark-contour debug images under "
                         "save_root/{video}/<save_lmscounter>/ "
                         "(spec: fit_videos_mp.py:273-278)")
+    p.add_argument("--io_workers", type=int,
+                   default=min(8, os.cpu_count() or 1),
+                   help="host threads for decode+landmark IO (the analogue "
+                        "of the reference's Pool(8), fit_videos_mp.py:59-75)")
     args = p.parse_args()
 
     import cv2
     import jax.numpy as jnp
 
     from havatar_tpu.preprocess import faceverse as fv
-    from havatar_tpu.preprocess import fitting, landmarks
+    from havatar_tpu.preprocess import fitting
     from havatar_tpu.preprocess.pipeline import save_frame_assets
 
     model = fv.load_model_file(
@@ -157,36 +217,18 @@ def main() -> None:
 
     no_face_log: Dict[str, str] = {}
     pending = collect_pending(args.videos_root, args.save_root)
-    print(f"{len(pending)} videos pending")
-    for name in pending:
-        vdir = os.path.join(args.videos_root, name)
+    print(f"{len(pending)} videos pending ({args.io_workers} IO workers)")
+    for name, frame_names, lms_all, failed in iter_videos_prefetched(
+            pending, args.videos_root, args.lms_root, args.io_workers):
         sdir = os.path.join(args.save_root, name)
         os.makedirs(sdir, exist_ok=True)
-        frame_names = sorted(
-            (f for f in os.listdir(vdir) if f.endswith((".png", ".jpg"))),
-            key=lambda s: int(s.split(".")[0]))
-
-        backend = (landmarks.PrecomputedBackend(os.path.join(args.lms_root, name))
-                   if args.lms_root else landmarks.get_backend("mediapipe"))
-        lms_all = []
-        ok = True
-        for f in frame_names:
-            img = cv2.cvtColor(cv2.imread(os.path.join(vdir, f)),
-                               cv2.COLOR_BGR2RGB)
-            if hasattr(backend, "set_frame"):
-                backend.set_frame(f.split(".")[0])
-            lms = backend.detect(img)
-            if lms is None:
-                no_face_log[f"{name}/{f}"] = "no_face"
-                ok = False
-                break
-            lms_all.append(lms)
-        if not ok:
+        if failed is not None:
+            no_face_log[f"{name}/{failed}"] = "no_face"
             open(os.path.join(sdir, "skip"), "w").close()
             continue
 
         coeffs, losses, state = fit_video_frames(
-            model, np.stack(lms_all), intr, cfg,
+            model, lms_all, intr, cfg,
             args.iters_first, args.iters_rest)
         for f, c in zip(frame_names, coeffs):
             fid = f.split(".")[0]

@@ -283,3 +283,72 @@ def test_fit_videos_batch_debug_outputs(tmp_path):
     img = B.draw_lms_counter(np.zeros((128, 128, 3), np.uint8), lms)
     assert img.any()                     # something was drawn
     assert img.shape == (128, 128, 3)
+
+
+def test_fit_videos_batch_io_fanout_deterministic(tmp_path, monkeypatch):
+    """The IO worker pool (fit_videos_batch.iter_videos_prefetched) must not
+    change outputs: any worker count yields the same videos in the same
+    order with identical landmark stacks, and the full CLI writes identical
+    assets for --io_workers 1 vs 2."""
+    import sys
+
+    import cv2
+    import numpy as np
+
+    from havatar_tpu.cli import fit_videos_batch as B
+    from tests.test_fit_video_e2e import make_fake_faceverse
+
+    rng = np.random.RandomState(0)
+    videos_root = tmp_path / "videos"
+    lms_root = tmp_path / "lms"
+    for v in ("a", "b", "c"):
+        (videos_root / v).mkdir(parents=True)
+        (lms_root / v).mkdir(parents=True)
+        for i in range(3):
+            cv2.imwrite(str(videos_root / v / f"{i}.png"),
+                        rng.randint(0, 255, (16, 16, 3), np.uint8))
+            # plausible on-screen landmarks for a 128px fit
+            lms = rng.rand(478, 2).astype(np.float32) * 80 + 20
+            np.save(str(lms_root / v / f"{i}.npy"), lms)
+
+    def snapshot(io_workers):
+        out = []
+        for name, frames, lms, failed in B.iter_videos_prefetched(
+                ["a", "b", "c"], str(videos_root), str(lms_root),
+                io_workers):
+            assert failed is None
+            out.append((name, tuple(frames), lms.copy()))
+        return out
+
+    s1, s3 = snapshot(1), snapshot(3)
+    assert [x[0] for x in s1] == [x[0] for x in s3] == ["a", "b", "c"]
+    for (_, f1, l1), (_, f3, l3) in zip(s1, s3):
+        assert f1 == f3
+        np.testing.assert_array_equal(l1, l3)
+
+    # full CLI: identical assets regardless of worker count
+    fv_path = str(tmp_path / "fv.npy")
+    make_fake_faceverse(fv_path)
+
+    def run(save_root, workers):
+        argv = ["fit_videos_batch",
+                "--videos_root", str(videos_root),
+                "--save_root", str(save_root),
+                "--faceverse_path", fv_path,
+                "--lms_root", str(lms_root),
+                "--tar_size", "128",
+                "--iters_first", "2", "--iters_rest", "1",
+                "--io_workers", str(workers)]
+        monkeypatch.setattr(sys, "argv", argv)
+        B.main()
+
+    run(tmp_path / "out1", 1)
+    run(tmp_path / "out2", 2)
+    for v in ("a", "b", "c"):
+        assert (tmp_path / "out1" / v / "finish").exists()
+        d1 = sorted((tmp_path / "out1" / v).glob("*/coeffs.npy"))
+        d2 = sorted((tmp_path / "out2" / v).glob("*/coeffs.npy"))
+        assert d1 and [p.parent.name for p in d1] == [p.parent.name
+                                                      for p in d2]
+        for p1, p2 in zip(d1, d2):
+            np.testing.assert_array_equal(np.load(p1), np.load(p2))
