@@ -34,7 +34,18 @@ def main() -> None:
                          "(auto-enabled when >1 device)")
     ap.add_argument("--frames", type=int, default=30,
                     help="frames per timed run (smoke tests use 1)")
+    ap.add_argument("--blind", action="store_true",
+                    help="disable occupancy-gated sampling: march the "
+                         "reference's blind 64+16 schedule over the full "
+                         "dataset near/far")
+    ap.add_argument("--coarse", type=int, default=None,
+                    help="coarse samples/ray (default: 32 gated, 64 blind)")
+    ap.add_argument("--fine", type=int, default=16,
+                    help="fine samples/ray")
     flags, _ = ap.parse_known_args()
+    gated = not flags.blind
+    num_coarse = flags.coarse if flags.coarse is not None else (
+        32 if gated else 64)
 
     use_mesh = flags.mesh or jax.device_count() > 1
     mesh = None
@@ -45,7 +56,9 @@ def main() -> None:
     # Multi-chip runs the shard_map serving route (infer/serving.py): each
     # chip runs the fused Pallas march on its ray shard — shard_map is what
     # keeps the kernels on a mesh (GSPMD cannot partition a Pallas call).
-    forward, example_args = _build_flagship(mesh=mesh)
+    forward, example_args = _build_flagship(mesh=mesh, gated=gated,
+                                            num_coarse=num_coarse,
+                                            num_fine=flags.fine)
     (nerf_vars, sr_params, skin_vol, rays, bg, latent, inv_T, front, left,
      right, style) = example_args
 
@@ -88,9 +101,12 @@ def main() -> None:
 
     fps = n_frames / dt
     n_dev = jax.device_count() if mesh is not None else 1
-    label = ("512^2 self-reenactment throughput (1 chip)" if n_dev == 1
+    mode = (f"occupancy-gated {num_coarse}+{flags.fine}" if gated
+            else f"blind {num_coarse}+{flags.fine}")
+    label = (f"512^2 self-reenactment throughput (1 chip, {mode})"
+             if n_dev == 1
              else f"512^2 self-reenactment throughput ({n_dev} chips, "
-                  "ray-sharded fused march via shard_map)")
+                  f"{mode}, ray-sharded fused march via shard_map)")
     print(json.dumps({
         "metric": label,
         "value": round(fps, 2),

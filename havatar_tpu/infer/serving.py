@@ -41,7 +41,11 @@ def _generate_planes(m: AvatarRenderer, latent, inv_T, front, left, right):
 
 
 def _march(m: AvatarRenderer, planes, rays, bg, inv_T, skin_vol,
-           num_coarse, num_fine):
+           num_coarse, num_fine, gated=False):
+    if gated:
+        from havatar_tpu.ops import tighten_ray_near_far
+
+        rays = tighten_ray_near_far(rays, m.xyz_bounding, inv_T)
     out = m.render_rays(
         planes, rays, bg, inv_T,
         num_coarse=num_coarse, num_fine=num_fine, perturb=False,
@@ -53,7 +57,7 @@ def _march(m: AvatarRenderer, planes, rays, bg, inv_T, skin_vol,
 
 def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
                           num_coarse: int = 64, num_fine: int = 16,
-                          to_uint8: bool = False):
+                          to_uint8: bool = False, gated: bool = False):
     """Build a jitted frame function whose ray axis is sharded over
     ``mesh['data']`` with ``shard_map`` (Pallas kernels run per shard).
 
@@ -81,9 +85,11 @@ def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
                                 method=_generate_planes)
 
         def march_shard(nerf_vars, planes, skin_vol, rays, bg, inv_T):
+            # gated: per-ray near/far tightening is elementwise over the ray
+            # shard (inv_T/bounds replicated) — no collective needed
             return renderer.apply(
                 nerf_vars, planes, rays, bg, inv_T, skin_vol,
-                num_coarse, num_fine, method=_march)
+                num_coarse, num_fine, gated, method=_march)
 
         rgb, acc = jax.shard_map(
             march_shard,
@@ -108,7 +114,7 @@ def make_sharded_frame_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
 
 def make_frame_parallel_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
                            num_coarse: int = 64, num_fine: int = 16,
-                           to_uint8: bool = False):
+                           to_uint8: bool = False, gated: bool = False):
     """Throughput-mode counterpart of ``make_sharded_frame_fn``: shard the
     FRAME (batch) axis over ``mesh['data']`` instead of the ray axis.
 
@@ -139,7 +145,7 @@ def make_frame_parallel_fn(mesh: Mesh, renderer: AvatarRenderer, sr=None,
             planes = renderer.apply(nerf_vars, latent, inv_T, front, left,
                                     right, method=_generate_planes)
             rgb, acc = renderer.apply(nerf_vars, planes, rays, bg, inv_T,
-                                      skin_vol, num_coarse, num_fine,
+                                      skin_vol, num_coarse, num_fine, gated,
                                       method=_march)
             s = renderer.render_size
             render = rgb.reshape(rgb.shape[0], s, s, -1)

@@ -28,8 +28,11 @@ from havatar_tpu.ops.volume_render import (
 from havatar_tpu.ops.rays import (
     get_rays,
     get_rays_np,
+    head_world_aabb,
     intrinsics_to_K,
     make_ray_importance_sampling_map,
     perspective_project,
     project_multiview,
+    ray_aabb_near_far,
+    tighten_ray_near_far,
 )

@@ -1,0 +1,172 @@
+"""Occupancy-gated sampling: ray/AABB interval math + renderer semantics.
+
+The gated inference mode (ops/rays.py: tighten_ray_near_far) rewrites each
+ray's near/far to its intersection with the avatar's world AABB so a caller
+can spend fewer samples at the same spatial density. These tests pin:
+  * the slab intersection against a brute-force dense-sampling oracle,
+  * the parallel-axis (d == 0) edge cases,
+  * head_world_aabb's containment guarantee under head transforms,
+  * the renderer contract for collapsed (miss) intervals: exact background.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from havatar_tpu.ops import (
+    head_world_aabb,
+    ray_aabb_near_far,
+    tighten_ray_near_far,
+)
+
+
+def _brute_force_interval(o, d, bmin, bmax, near, far, n=20001):
+    """Oracle: densely sample t in [near, far], find the in-box interval."""
+    t = np.linspace(near, far, n)
+    pts = o[None] + t[:, None] * d[None]
+    inside = np.all((pts >= bmin) & (pts <= bmax), axis=-1)
+    if not inside.any():
+        return None
+    idx = np.where(inside)[0]
+    return t[idx[0]], t[idx[-1]]
+
+
+def test_ray_aabb_vs_brute_force():
+    rng = np.random.RandomState(0)
+    o = rng.uniform(-3, 3, (64, 3)).astype(np.float32)
+    d = rng.uniform(-1, 1, (64, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    bmin = np.array([-1.0, -0.8, -1.2], np.float32)
+    bmax = np.array([1.0, 1.1, 0.7], np.float32)
+    near = np.full((64, 1), 0.1, np.float32)
+    far = np.full((64, 1), 8.0, np.float32)
+
+    t0, t1 = ray_aabb_near_far(jnp.asarray(o), jnp.asarray(d),
+                               jnp.asarray(bmin), jnp.asarray(bmax),
+                               jnp.asarray(near), jnp.asarray(far))
+    t0, t1 = np.asarray(t0)[:, 0], np.asarray(t1)[:, 0]
+    for i in range(64):
+        got = _brute_force_interval(o[i], d[i], bmin, bmax, 0.1, 8.0)
+        if got is None:
+            # miss => collapsed interval at near
+            assert t0[i] == t1[i] == pytest.approx(0.1), (i, t0[i], t1[i])
+        else:
+            # dense-sampling oracle quantizes at (far-near)/n
+            tol = 8.0 / 20000 * 2
+            assert abs(t0[i] - got[0]) < tol, (i, t0[i], got)
+            assert abs(t1[i] - got[1]) < tol, (i, t1[i], got)
+        assert t1[i] >= t0[i] >= 0.1 - 1e-6 and t1[i] <= 8.0 + 1e-6
+
+
+def test_ray_aabb_parallel_axis():
+    bmin = jnp.asarray([-1.0, -1.0, -1.0])
+    bmax = jnp.asarray([1.0, 1.0, 1.0])
+    near = jnp.asarray([[0.0]])
+    far = jnp.asarray([[10.0]])
+    # parallel to x/y, inside both slabs: interval is the z chord
+    o = jnp.asarray([[0.5, -0.5, -5.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    t0, t1 = ray_aabb_near_far(o, d, bmin, bmax, near, far)
+    np.testing.assert_allclose(np.asarray(t0), [[4.0]], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), [[6.0]], atol=1e-6)
+    # parallel and OUTSIDE the x slab: miss
+    o = jnp.asarray([[1.5, 0.0, -5.0]])
+    t0, t1 = ray_aabb_near_far(o, d, bmin, bmax, near, far)
+    assert float(t0[0, 0]) == float(t1[0, 0]) == 0.0
+    # origin exactly ON a slab face with d == 0 along it (the inf*0 NaN lane)
+    o = jnp.asarray([[1.0, 0.0, -5.0]])
+    t0, t1 = ray_aabb_near_far(o, d, bmin, bmax, near, far)
+    assert np.isfinite(float(t0[0, 0])) and np.isfinite(float(t1[0, 0]))
+    np.testing.assert_allclose(np.asarray(t1 - t0), [[2.0]], atol=1e-6)
+
+
+def test_head_world_aabb_containment():
+    bounds = ((-1.5, 1.5), (-1.6, 1.4), (-1.6, 1.2))
+    # identity transform: AABB == the box itself
+    eye = jnp.concatenate([jnp.eye(3), jnp.zeros((1, 3))], 0)[None]
+    bmin, bmax = head_world_aabb(bounds, eye)
+    np.testing.assert_allclose(np.asarray(bmin)[0], [-1.5, -1.6, -1.6],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bmax)[0], [1.5, 1.4, 1.2], atol=1e-6)
+
+    # rotated+translated head: every canonical corner's world preimage must
+    # be inside the AABB (containment of box ∪ head_T·box)
+    rng = np.random.RandomState(1)
+    aa = rng.uniform(-0.4, 0.4, 3)
+    angle = np.linalg.norm(aa)
+    k = aa / angle
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
+    t = rng.uniform(-0.3, 0.3, 3)
+    inv_T = jnp.asarray(np.concatenate([R, t[None]], 0), jnp.float32)[None]
+    bmin, bmax = head_world_aabb(bounds, inv_T)
+    bmin, bmax = np.asarray(bmin)[0], np.asarray(bmax)[0]
+    b = np.asarray(bounds)
+    corners = np.stack(np.meshgrid(b[0], b[1], b[2], indexing="ij"),
+                       -1).reshape(8, 3)
+    # canonical corners themselves (identity branch of the skinning blend)
+    assert (corners >= bmin - 1e-5).all() and (corners <= bmax + 1e-5).all()
+    # world points whose head-transform image is a canonical corner
+    world = corners @ np.linalg.inv(R) - t
+    assert (world >= bmin - 1e-4).all() and (world <= bmax + 1e-4).all()
+
+
+def test_tighten_preserves_layout_and_miss_renders_background():
+    """Collapsed (miss) intervals must composite the EXACT background: all
+    sample dists are 0 -> alpha 0 -> weights 0."""
+    from havatar_tpu.models import AvatarRenderer
+    from havatar_tpu.models.renderer import AvatarRenderer as AR
+
+    renderer = AvatarRenderer(latent_code_dim=8, plane_feat_dim=16,
+                              plane_res=16, cond_res=32, plane_middle_size=4,
+                              feat_dim=16, render_size=4, skin_vol_res=8)
+    B, R = 1, 16
+    # rays pointing AWAY from the box (+z from z=3): all miss
+    rays = jnp.concatenate([
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 3.0),
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 1.0),
+        jnp.full((B, R, 1), 0.5), jnp.full((B, R, 1), 4.0)], -1)
+    inv_T = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((1, 3))], 0), (B, 4, 3))
+    gated = tighten_ray_near_far(rays, renderer.xyz_bounding, inv_T)
+    assert gated.shape == rays.shape
+    np.testing.assert_array_equal(np.asarray(gated[..., :6]),
+                                  np.asarray(rays[..., :6]))
+    # all rays miss: near' == far' == near
+    np.testing.assert_allclose(np.asarray(gated[..., 6]), 0.5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gated[..., 7]), 0.5, atol=1e-6)
+
+    bg = jax.random.uniform(jax.random.PRNGKey(3), (B, R, 3))
+    lat = jnp.zeros((B, 8))
+    conds = [jnp.full((B, 32, 32, 7), 0.4)] * 3
+    nv = renderer.init(jax.random.PRNGKey(0), rays, bg, lat, inv_T, *conds,
+                       num_coarse=4, num_fine=2, perturb=False)
+    out = renderer.apply(nv, gated, bg, lat, inv_T, *conds,
+                         num_coarse=4, num_fine=2, perturb=False)
+    np.testing.assert_allclose(np.asarray(out["rgb_fine"][..., :3]),
+                               np.asarray(bg), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["acc_fine"]), 0.0, atol=1e-6)
+
+
+def test_gated_hits_match_blind_when_density_inside_box():
+    """On rays that DO hit, gating at the SAME sample count must integrate
+    the same scene: compare gated vs blind renders where the gated interval
+    equals the blind interval (box spans the full [near, far] chord), so the
+    two must agree exactly."""
+    from havatar_tpu.models import AvatarRenderer
+
+    renderer = AvatarRenderer(latent_code_dim=8, plane_feat_dim=16,
+                              plane_res=16, cond_res=32, plane_middle_size=4,
+                              feat_dim=16, render_size=4, skin_vol_res=8)
+    B, R = 1, 16
+    # central rays: chord through the box z-range [-1.6, 1.2] from z=3 is
+    # t in [1.8, 4.6]; choose near/far INSIDE it so tightening is a no-op
+    rays = jnp.concatenate([
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 3.0),
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), -1.0),
+        jnp.full((B, R, 1), 2.0), jnp.full((B, R, 1), 4.0)], -1)
+    inv_T = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((1, 3))], 0), (B, 4, 3))
+    gated = tighten_ray_near_far(rays, renderer.xyz_bounding, inv_T)
+    np.testing.assert_allclose(np.asarray(gated), np.asarray(rays), atol=1e-6)
