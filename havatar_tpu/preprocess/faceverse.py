@@ -227,9 +227,11 @@ def sh_illumination(face_texture: jnp.ndarray, norm: jnp.ndarray,
 
 
 def project_points(vs: jnp.ndarray, fx, fy, cx, cy, cam_dist: float = 10.0):
-    """Pinhole projection after the renderer's z-reversal + camera shift
-    (spec: ModelRenderer.project_vs / _get_p_mat usage, :365-370,540+)."""
-    v = vs * jnp.asarray([1.0, 1.0, -1.0]) + jnp.asarray([0.0, 0.0, cam_dist])
+    """Pinhole projection after the renderer's reverse_xz + camera shift
+    (spec: ModelRenderer.project_vs / _get_reverse_xz, :604-617): the
+    reference flips BOTH x and z before the camera-distance shift, so
+    image x = cx - fx*x/(cam_dist - z). Oracle: test_faceverse_oracle.py."""
+    v = vs * jnp.asarray([-1.0, 1.0, -1.0]) + jnp.asarray([0.0, 0.0, cam_dist])
     x = fx * v[..., 0] / v[..., 2] + cx
     y = fy * v[..., 1] / v[..., 2] + cy
     return jnp.stack([x, y], axis=-1)
