@@ -232,8 +232,15 @@ def main() -> None:
             args.iters_first, args.iters_rest)
         for f, c in zip(frame_names, coeffs):
             fid = f.split(".")[0]
-            head_T = np.asarray(fitting.head_transform_matrix(state, True))
-            extr_T = np.asarray(fitting.head_transform_matrix(state, False))
+            # per-frame pose: rebuild the head transform from THIS frame's
+            # packed coeffs (rot/trans/scale vary frame to frame; the fit
+            # state only holds the last frame's pose)
+            _, _, _, ang, _, trans, _, scale = fv.split_coeffs(
+                jnp.asarray(c[None]), model.exp_dims)
+            head_T = np.asarray(fv.make_rot_mat(ang, trans, scale,
+                                                no_scale=True))
+            extr_T = np.asarray(fv.make_rot_mat(ang, trans, scale,
+                                                no_scale=False))
             save_frame_assets(sdir, fid, c, head_T, extr_T, extr_T)
             if args.save_fvmask:
                 mdir = os.path.join(sdir, args.save_fvmask)
