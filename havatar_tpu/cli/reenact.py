@@ -48,6 +48,15 @@ def main() -> None:
                    choices=["auto", "fast", "exact"],
                    help="fast: bf16 + fused Pallas march (default on TPU); "
                         "exact: f32 XLA path matching the parity tests")
+    p.add_argument("--gated", action="store_true",
+                   help="occupancy-gated sampling: tighten per-ray near/far "
+                        "to the avatar's AABB and march --coarse samples in "
+                        "the occupied chord (+50%% fps at 32; a few uint8 "
+                        "LSB off the blind reference schedule — see "
+                        "infer/reenact.py:make_reenact_fn)")
+    p.add_argument("--coarse", type=int, default=0,
+                   help="coarse samples/ray override (0 = config value; "
+                        "use 32 with --gated for the bench operating point)")
     args = p.parse_args()
 
     cfg = resolve_config(args.config)
@@ -57,7 +66,8 @@ def main() -> None:
     stats = run_reenactment(
         cfg, args.split, args.savedir, variables, latent_codes, g_ema,
         seed=cfg.experiment.randomseed,
-        max_frames=args.max_frames or None, precision=args.precision)
+        max_frames=args.max_frames or None, precision=args.precision,
+        gated=args.gated, num_coarse=args.coarse or None)
     print(json.dumps(stats))
     print("Done!")
 

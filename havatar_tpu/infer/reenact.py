@@ -41,21 +41,47 @@ def mean_style(generator: StyleUNetSR, g_params, rng: jax.Array,
     return jnp.mean(z, axis=0)
 
 
-def make_reenact_fn(cfg, renderer: AvatarRenderer, generator: StyleUNetSR):
-    """Build the jitted per-frame pipeline: inputs -> uint8 HxWx3."""
+def make_reenact_fn(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
+                    to_uint8: bool = True, gated: bool = False,
+                    num_coarse: Optional[int] = None):
+    """Build the jitted per-frame pipeline: inputs -> uint8 HxWx3.
+
+    ``to_uint8=False`` returns the raw float frame (0-1 scale) instead —
+    for metric evaluation (PSNR/LPIPS against a reference frame) where the
+    quantization would floor the measurement.
+
+    ``gated=True`` turns on occupancy-gated sampling (ops/rays.py:
+    tighten_ray_near_far): per-ray near/far tightened to the avatar's
+    head-pose-transformed world AABB, usually paired with a reduced
+    ``num_coarse`` (32 gated ≈ the blind 64's spatial density — the samples
+    concentrate in the ~half-length occupied chord; bench.py measures +50%
+    fps). Opt-in because it is NOT bit-identical to the reference's blind
+    march: rays keep their stratified spacing only within the tightened
+    interval, so individual frames can differ by a few uint8 LSB where the
+    blind march's extra empty-space samples shifted the fine-pass PDF. The
+    default (False) is the parity-tested path
+    (tests/test_torch_checkpoint_files.py)."""
     nerf_cfg = cfg.nerf.validation
+    n_coarse = int(num_coarse) if num_coarse is not None else (
+        int(nerf_cfg.num_coarse))
 
     def frame_fn(nerf_vars, g_params, fixed_volume, style, rays, bg,
                  latent, inv_head_T, front, left, right):
+        if gated:
+            from havatar_tpu.ops import tighten_ray_near_far
+
+            rays = tighten_ray_near_far(rays, renderer.xyz_bounding,
+                                        inv_head_T)
         render, _ = renderer.apply(
             nerf_vars, rays, bg, latent, inv_head_T, front, left, right,
-            num_coarse=nerf_cfg.num_coarse, num_fine=nerf_cfg.num_fine,
+            num_coarse=n_coarse, num_fine=nerf_cfg.num_fine,
             perturb=False, radiance_field_noise_std=0.0,
             fixed_volume=fixed_volume,
             method=AvatarRenderer.render_full_image)
         style_b = jnp.broadcast_to(style, (render.shape[0], style.shape[-1]))
         img = generator.apply({"params": g_params}, [style_b], render[..., 3:])
-        img = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint8)
+        if to_uint8:
+            img = jnp.clip(img * 255.0, 0.0, 255.0).astype(jnp.uint8)
         return img
 
     return jax.jit(frame_fn)
@@ -65,7 +91,9 @@ def run_reenactment(cfg, split_file: str, savedir: str, variables,
                     latent_codes, g_ema_params, seed: int = 42,
                     max_frames: Optional[int] = None,
                     pipeline_depth: int = 3,
-                    precision: str = "auto") -> Dict[str, Any]:
+                    precision: str = "auto",
+                    gated: bool = False,
+                    num_coarse: Optional[int] = None) -> Dict[str, Any]:
     """Offline reenactment driver. Returns timing stats.
 
     The loop is pipelined: conditions are staged to device by a prefetch
@@ -117,9 +145,11 @@ def run_reenactment(cfg, split_file: str, savedir: str, variables,
 
         mesh = make_mesh(("data",))
         nerf_cfg = cfg.nerf.validation
+        n_coarse = int(num_coarse) if num_coarse is not None else (
+            int(nerf_cfg.num_coarse))
         sharded_fn = make_sharded_frame_fn(
-            mesh, renderer, generator, num_coarse=nerf_cfg.num_coarse,
-            num_fine=nerf_cfg.num_fine, to_uint8=True)
+            mesh, renderer, generator, num_coarse=n_coarse,
+            num_fine=nerf_cfg.num_fine, to_uint8=True, gated=gated)
 
         def frame_fn(nerf_vars, g_params, fixed_volume, style, rays, bg,
                      latent, inv_head_T, front, left, right):
@@ -127,7 +157,8 @@ def run_reenactment(cfg, split_file: str, savedir: str, variables,
             return sharded_fn(nerf_vars, g_params, fixed_volume, rays, bg,
                               latent, inv_head_T, front, left, right, style_b)
     else:
-        frame_fn = make_reenact_fn(cfg, renderer, generator)
+        frame_fn = make_reenact_fn(cfg, renderer, generator, gated=gated,
+                                   num_coarse=num_coarse)
 
     ds = AvatarDataset(split_file, mode="test", cfg=cfg,
                        down_sample=cfg.dataset.down_sample, full_image=True)
