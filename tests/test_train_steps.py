@@ -380,3 +380,98 @@ def test_stage2_bf16_fast_step_runs():
         o = jax.tree_util.tree_leaves(old)[0]
         n = jax.tree_util.tree_leaves(new)[0]
         assert float(jnp.abs(n - o).max()) > 0
+
+
+@pytest.mark.slow
+def test_stage2_d_step_sharded_matches_single():
+    """GSPMD-sharded d_step == single-device d_step (moved here from
+    __graft_entry__.dryrun_multichip section 3, where the duplicate
+    multi-minute XLA:CPU compile blew the driver's gate budget).
+
+    The d_step LOSS depends on cross-device batch statistics — the
+    minibatch-stddev groups (models/blocks.py, spec reference
+    model/styleUnet.py:542-548) — so this is the one stage-2 comparison
+    where a wrong cross-device reduction shows up in the loss itself.
+    Runs on a 4-device sub-mesh with batch 4 (one frame per device): the
+    stddev group (4) spans EVERY device, the maximal group-vs-batch
+    cross-device interaction."""
+    from havatar_tpu.parallel import make_mesh, batch_sharding, replicated
+    from havatar_tpu.train import stage2
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    cfg = tiny_cfg()
+    cfg.models.StyleUnet.inp_size = 16
+    cfg.models.StyleUnet.out_size = 64
+    cfg.gan.batch = 4
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng, B=4, R=16 * 16, gen_size=64, render_size=16)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    models, state = stage2.init_state(cfg, rng, num_frames=4,
+                                      example_batch=example)
+    d_step, _, _, _ = stage2.make_steps(cfg, *models)
+
+    # single-device oracle
+    st_ref, dm_ref = d_step(state, batch, jax.random.PRNGKey(11))
+
+    batch_sh = {k: jax.device_put(v, batch_sharding(mesh))
+                for k, v in batch.items()}
+    st_sh = jax.device_put(state, replicated(mesh))
+    st_sh, dm = d_step(st_sh, batch_sh, jax.random.PRNGKey(11))
+
+    # the LOSS is the sensitive quantity (cross-device batch statistics);
+    # post-Adam params can only be bounded by the step size, since Adam's
+    # grad normalization amplifies reduction-order noise on tiny grads
+    a, b = float(dm_ref["d"]), float(dm["d"])
+    assert np.isfinite(a) and abs(a - b) <= 1e-4 * max(1.0, abs(a)), (a, b)
+    lr_d = float(cfg.gan.lr)
+    for ref_leaf, sh_leaf in zip(
+            jax.tree_util.tree_leaves(st_ref.d_params),
+            jax.tree_util.tree_leaves(st_sh.d_params)):
+        np.testing.assert_allclose(np.asarray(ref_leaf), np.asarray(sh_leaf),
+                                   atol=2.5 * lr_d, rtol=0)
+
+
+@pytest.mark.slow
+def test_stage2_r1_g_sharded_and_ema():
+    """GSPMD-sharded r1/g steps + the EMA identity (moved here from
+    __graft_entry__.dryrun_multichip section 3, where the extra multi-minute
+    XLA:CPU compiles blew the driver's gate budget — MULTICHIP_r03.json).
+
+    Runs on a 4-device sub-mesh (8 GSPMD device threads starve the 1-core
+    host's collective rendezvous; see the dryrun section-3 comment): r1's
+    double-backward and g's NeRF+SR+D chain execute batch-sharded, and the
+    EMA update must satisfy ema' = a*ema + (1-a)*g' exactly."""
+    from havatar_tpu.parallel import make_mesh, batch_sharding, replicated
+    from havatar_tpu.train import stage2
+
+    mesh = make_mesh(("data",), devices=jax.devices()[:4])
+    cfg = tiny_cfg()
+    cfg.models.StyleUnet.inp_size = 16
+    cfg.models.StyleUnet.out_size = 64
+    cfg.gan.batch = 4
+    rng = jax.random.PRNGKey(0)
+    batch = tiny_batch(rng, B=4, R=16 * 16, gen_size=64, render_size=16)
+    example = {k: np.asarray(v) for k, v in batch.items()}
+    models, state = stage2.init_state(cfg, rng, num_frames=4,
+                                      example_batch=example)
+    _, r1_step, g_step, _ = stage2.make_steps(cfg, *models)
+
+    bsh = batch_sharding(mesh)
+    batch_sh = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    state = jax.device_put(state, replicated(mesh))
+
+    state, rm = r1_step(state, batch_sh)
+    assert np.isfinite(float(rm["r1"])), rm
+
+    g_ema_before = jax.tree_util.tree_map(np.asarray, state.g_ema_params)
+    state, gm = g_step(state, batch_sh, jax.random.PRNGKey(12))
+    for name in ("g", "nerf_loss", "hr_l1"):
+        assert np.isfinite(float(gm[name])), (name, gm[name])
+    # EMA identity on the sharded result: ema' = a*ema + (1-a)*g'
+    accum = 0.5 ** (32.0 / (10 * 1000))
+    for e, g, p in zip(jax.tree_util.tree_leaves(state.g_ema_params),
+                       jax.tree_util.tree_leaves(state.g_params),
+                       jax.tree_util.tree_leaves(g_ema_before)):
+        np.testing.assert_allclose(
+            np.asarray(e), accum * p + (1 - accum) * np.asarray(g),
+            atol=1e-5, rtol=1e-4)
