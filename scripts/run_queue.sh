@@ -1,9 +1,9 @@
 #!/bin/bash
 # Serial TPU measurement queue (one process at a time — two OOM the chip).
 # Waits for the remote-compile relay to come back, then runs each probe.
-# Round-3b state: the decision-critical items (quad_allfast / skin_bf16 /
-# quad f32 / probe_bwd_pieces with skin_dvol_fixed) run first; the
-# scatter-variant sweep and the sorted A/B close the backlog.
+# Round-4 state: re-measure the stage-2 fast step at the round-3b lever
+# set (fixed-coords 3D-sampler VJP + halved quad backward tile landed
+# AFTER the last recorded 0.540 — VERDICT item 3), then the gated bench.
 cd "$(dirname "$0")/.."
 log=/tmp/tpu_queue.log
 echo "=== queue start $(date -u) ===" >> "$log"
@@ -24,12 +24,10 @@ run() {
   echo "--- rc=$? $(date -u)" >> "$log"
 }
 
-run python scripts/bench_train.py --only stage2_quad_allfast_noremat
+run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat
 run python scripts/bench_train.py --only stage2_skin_bf16_noremat
-run python scripts/bench_train.py --only stage2_quad_noremat
-run python scripts/probe_bwd_pieces.py --dtype float32
-run python scripts/probe_bwd_pieces.py --dtype float32 --sorted
-run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat --sorted-scatter
-run python scripts/probe_scatter.py
 run python bench.py
+run python scripts/bench_train.py --only stage2_quad_noremat
+run python scripts/bench_train.py --only stage2_noremat
+run python bench.py --blind --coarse 64
 echo "=== queue done $(date -u) ===" >> "$log"
