@@ -132,6 +132,46 @@ def convert_plane_generator(sd: Mapping, prefix: str = "",
     return out
 
 
+def convert_two_head_generator(sd: Mapping, prefix: str = "",
+                               out_size: int = 128, middle_size: int = 8,
+                               split_size: int = 32, inp_size: int = 256,
+                               n_mlp: int = 4) -> Dict[str, Any]:
+    """StyleGAN_zxc_twoHead (model/styleUnet.py:881-1187) ->
+    TwoHeadPlaneGenerator params. The reference's never-called per-head
+    FromRGB pyramids are skipped (no flax counterpart)."""
+    p = (prefix + ".") if prefix else ""
+    log_size = int(math.log2(out_size))
+    mid_log = int(math.log2(middle_size))
+    split_log = int(math.log2(split_size))
+    n_enc = len(range(int(math.log2(inp_size)) - 2, split_log - 1, -1))
+    n_trunk_up = split_log - mid_log
+    n_head_up = log_size - split_log
+
+    out: Dict[str, Any] = {
+        "style": _style_mlp(sd, f"{p}style", n_mlp),
+        "input": {"input": _np(sd[f"{p}input.input"]).transpose(0, 2, 3, 1)},
+        "conv_first": _styled_conv(sd, f"{p}conv1"),
+    }
+    for i in range(2 * n_trunk_up):
+        out[f"conv{i}"] = _styled_conv(sd, f"{p}convs.{i}")
+    n_comb = n_enc + 1
+    used = {n_comb - 1 - s for s in range(n_head_up)}
+    for k, sfx in enumerate(("", "1")):
+        out[f"conv_in{k}"] = _conv_layer(sd, f"{p}conv_in{sfx}",
+                                         downsample=True)
+        for si in range(n_enc):
+            out[f"cond_conv{k}_{si}"] = _conv_block(
+                sd, f"{p}cond_convs{sfx}.{si}")
+        for ci in used:
+            out[f"comb_conv{k}_{ci}"] = _conv_layer(
+                sd, f"{p}comb_convs{sfx}.{ci}", downsample=False)
+        for i in range(2 * n_head_up):
+            out[f"head{k}_conv{i}"] = _styled_conv(sd, f"{p}convs_head{sfx}.{i}")
+        out[f"conv_out{k}"] = _conv_layer(sd, f"{p}conv_out{sfx}",
+                                          downsample=False)
+    return out
+
+
 def convert_styleunet(sd: Mapping, prefix: str = "", out_size: int = 512,
                       inp_size: int = 128, middle_size: int = 8,
                       n_mlp: int = 4) -> Dict[str, Any]:
@@ -160,7 +200,7 @@ def convert_styleunet(sd: Mapping, prefix: str = "", out_size: int = 512,
 
 
 def convert_discriminator(sd: Mapping, prefix: str = "",
-                          size: int = 512) -> Dict[str, Any]:
+                          size: int = 512, c_dim: int = 0) -> Dict[str, Any]:
     p = (prefix + ".") if prefix else ""
     log_size = int(math.log2(size)) - 1
     n_blocks = len(range(log_size, 2, -1))
@@ -172,6 +212,10 @@ def convert_discriminator(sd: Mapping, prefix: str = "",
     out["final_conv"] = _conv_layer(sd, f"{p}final_conv", downsample=False)
     out["final_linear0"] = _linear(sd, f"{p}final_linear.0")
     out["final_linear1"] = _linear(sd, f"{p}final_linear.1")
+    if c_dim > 0:
+        # pose-conditional projection head (model/styleUnet.py:514-533)
+        for i in range(4):
+            out[f"mapping{i}"] = _linear(sd, f"{p}mapping.{i}")
     return out
 
 

@@ -15,7 +15,13 @@ from havatar_tpu.models.blocks import (
     minibatch_stddev,
     pixel_norm,
 )
-from havatar_tpu.models.generators import PlaneGenerator, StyleUNetSR, StyleMLP, channel_map
+from havatar_tpu.models.generators import (
+    PlaneGenerator,
+    StyleMLP,
+    StyleUNetSR,
+    TwoHeadPlaneGenerator,
+    channel_map,
+)
 from havatar_tpu.models.discriminator import WaveletDiscriminator
 from havatar_tpu.models.nerf_field import DoublePlaneNeRFField
 from havatar_tpu.models.skinning import (

@@ -5,9 +5,11 @@ Behavioral specs:
   in its default operating point: conditioning-image encoder + StyleGAN2
   synthesis trunk with encoder-feature injection, ``zero_latent=False,
   zero_noise=True, no_skip=True`` (instantiated at model/nerf_model.py:39-42).
-  The unused 'shared_backbone'/'two_head' variants (model/nerf_model.py:32-37,
-  StyleGAN_zxc_twoHead model/styleUnet.py:881-1187) are dead code by default
-  and intentionally not rebuilt (SURVEY.md §7 "What NOT to rebuild").
+  The 'two_head' variant is ``TwoHeadPlaneGenerator`` below; 'shared_backbone'
+  reuses ``PlaneGenerator`` with doubled out_ch (see DoublePlaneNeRFField —
+  the reference's own shared-backbone construction at model/nerf_model.py:33
+  omits ``no_skip=True`` and would mis-shape the plane split; we implement
+  the intended semantics).
 * ``StyleUNetSR`` == reference ``SWGAN_unet`` (model/styleUnet.py:1190-1415):
   U-Net encoder over the NeRF feature image + wavelet-domain StyleGAN2
   decoder, final inverse Haar to 2x the last feature resolution.
@@ -174,6 +176,135 @@ class PlaneGenerator(nn.Module):
         if self.no_skip:
             return ConvLayer(self.out_ch, 1, name="conv_out")(out)
         return skip
+
+
+class TwoHeadPlaneGenerator(nn.Module):
+    """Two-head condition-plane generator: one latent-driven synthesis trunk
+    up to ``split_size``, then two condition-encoder-injected heads that each
+    upsample to ``out_size`` — producing BOTH feature planes from shared
+    low-resolution structure.
+
+    Behavioral spec: reference ``StyleGAN_zxc_twoHead``
+    (model/styleUnet.py:881-1187) at its nerf_model.py:36-37 operating point
+    (``middle_size=8, split_size=32, zero_latent=False, zero_noise=True,
+    no_skip=True``). Two reference quirks intentionally NOT rebuilt: the
+    per-head FromRGB pyramids are constructed but never called (their forward
+    use is commented out, model/styleUnet.py:1129/1164), and ``zero_noise``'s
+    first entry is ``torch.randn`` rather than zeros (:1031) — inert either
+    way because NoiseInjection weights start at 0; this module is
+    deterministic-noise like ``PlaneGenerator``.
+
+    Call: (styles [B, style_dim], cond_front [B, S, S, inp_ch[0]],
+           cond_side [B, S, S, inp_ch[1]])
+      -> (plane0, plane1), each [B, out_size, out_size, out_ch].
+    """
+
+    out_ch: int
+    out_size: int = 128
+    style_dim: int = 44
+    mlp_dim: int = 32
+    n_mlp: int = 4
+    middle_size: int = 8
+    split_size: int = 32
+    inp_size: int = 256
+    inp_ch: Sequence[int] = (7, 13)
+    channel_multiplier: int = 2
+    lr_mlp: float = 0.01
+    compute_dtype: str = "float32"
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.out_size))
+
+    @property
+    def middle_log_size(self) -> int:
+        return int(math.log2(self.middle_size))
+
+    @property
+    def split_log_size(self) -> int:
+        return int(math.log2(self.split_size))
+
+    @property
+    def n_latents(self) -> List[int]:
+        """Per-section w counts: [trunk, head0, head1]
+        (model/styleUnet.py:1015-1016)."""
+        n_head = self.log_size * 2 - self.split_log_size * 2
+        return [self.split_log_size * 2 - self.middle_log_size * 2 + 1,
+                n_head, n_head]
+
+    @nn.compact
+    def __call__(self, styles, cond_front, cond_side):
+        ch = channel_map(self.channel_multiplier)
+        B = cond_front.shape[0]
+        cdt = jnp.dtype(self.compute_dtype)
+        styles = styles.astype(cdt)
+        conds = [cond_front.astype(cdt), cond_side.astype(cdt)]
+
+        w = StyleMLP(self.style_dim, self.mlp_dim, self.n_mlp,
+                     self.lr_mlp, name="style")(styles)
+        n0, n_head, _ = self.n_latents
+        latent = jnp.tile(w[:, None, :], (1, n0 + 2 * n_head, 1))
+
+        # ---- shared trunk: middle_size -> split_size (styleUnet.py:1105-1120)
+        out = ConstantInput(ch[self.middle_size], size=self.middle_size,
+                            name="input")(B).astype(cdt)
+        out = StyledConv(ch[self.middle_size], ch[self.middle_size], 3,
+                         name="conv_first")(out, latent[:, 0])
+        in_channel = ch[self.middle_size]
+        i = 1
+        for stage, res_log in enumerate(
+                range(self.middle_log_size + 1, self.split_log_size + 1)):
+            out_channel = ch[2**res_log]
+            out = StyledConv(in_channel, out_channel, 3, upsample=True,
+                             name=f"conv{2 * stage}")(out, latent[:, i])
+            out = StyledConv(out_channel, out_channel, 3,
+                             name=f"conv{2 * stage + 1}")(out, latent[:, i + 1])
+            i += 2
+            in_channel = out_channel
+        trunk_out, trunk_channel = out, in_channel
+
+        # ---- two condition encoders + synthesis heads
+        enc_stages = list(range(int(math.log2(self.inp_size)) - 2,
+                                self.split_log_size - 1, -1))
+        planes = []
+        for k in range(2):
+            # encoder (styleUnet.py:927-951; FromRGB pyramid unused, see
+            # docstring): strided conv-in then ConvBlock downsampling chain
+            in_channel = ch[self.inp_size // 2]
+            cond_out = ConvLayer(in_channel, 3, downsample=True,
+                                 name=f"conv_in{k}")(conds[k])
+            cond_list = [cond_out]
+            comb_channels = [in_channel]
+            for si, res_log in enumerate(enc_stages):
+                out_channel = ch[2**res_log]
+                cond_out = ConvBlock(in_channel, out_channel,
+                                     name=f"cond_conv{k}_{si}")(cond_out)
+                cond_list.append(cond_out)
+                comb_channels.append(out_channel)
+                in_channel = out_channel
+
+            # head: split_size -> out_size with encoder-feature injection
+            # BEFORE each upsample pair (styleUnet.py:1134-1146)
+            out, in_channel = trunk_out, trunk_channel
+            base = n0 + k * n_head
+            i = 0
+            for stage, res_log in enumerate(
+                    range(self.split_log_size + 1, self.log_size + 1)):
+                out_channel = ch[2**res_log]
+                ci = len(comb_channels) - 1 - (i // 2)
+                out = jnp.concatenate([out, cond_list[ci]], axis=-1)
+                out = ConvLayer(comb_channels[ci], 3,
+                                name=f"comb_conv{k}_{ci}")(out)
+                out = StyledConv(comb_channels[ci], out_channel, 3,
+                                 upsample=True, name=f"head{k}_conv{2 * stage}",
+                                 )(out, latent[:, base + i])
+                out = StyledConv(out_channel, out_channel, 3,
+                                 name=f"head{k}_conv{2 * stage + 1}",
+                                 )(out, latent[:, base + i + 1])
+                i += 2
+                in_channel = out_channel
+            planes.append(ConvLayer(self.out_ch, 1, name=f"conv_out{k}")(out))
+        return planes[0], planes[1]
 
 
 class StyleUNetSR(nn.Module):

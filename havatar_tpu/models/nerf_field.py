@@ -25,7 +25,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from havatar_tpu.models.generators import PlaneGenerator
+from havatar_tpu.models.generators import (
+    PlaneGenerator,
+    TwoHeadPlaneGenerator,
+)
 from havatar_tpu.ops import (
     BoxWarp,
     eval_sh,
@@ -46,6 +49,10 @@ class DoublePlaneNeRFField(nn.Module):
     cond_res: int = 256
     plane_middle_size: int = 16
     sh_deg: int = 0
+    # plane-generator topology (model/nerf_model.py:28-42): 'split' (default,
+    # two independent generators), 'shared_backbone' (one trunk, channel-split
+    # planes), 'two_head' (shared trunk to 32², per-plane heads)
+    enc_mode: str = "split"
     hidden: int = 128
     compute_dtype: str = "float32"   # "bfloat16" for MXU-speed inference
     # fuse the 5-dot dense chain into one Pallas kernel (inference only —
@@ -64,18 +71,44 @@ class DoublePlaneNeRFField(nn.Module):
 
     def setup(self):
         cdt = jnp.dtype(self.compute_dtype)
-        self.XY_gen = PlaneGenerator(
-            out_ch=self.plane_feat_dim, out_size=self.plane_res,
-            style_dim=self.latent_code_dim, middle_size=self.plane_middle_size,
-            inp_size=self.cond_res, inp_ch=7, n_mlp=4,
-            compute_dtype=self.compute_dtype,
-        )
-        self.YZ_gen = PlaneGenerator(
-            out_ch=self.plane_feat_dim, out_size=self.plane_res,
-            style_dim=self.latent_code_dim, middle_size=self.plane_middle_size,
-            inp_size=self.cond_res, inp_ch=13, n_mlp=4,
-            compute_dtype=self.compute_dtype,
-        )
+        if self.enc_mode == "split":
+            self.XY_gen = PlaneGenerator(
+                out_ch=self.plane_feat_dim, out_size=self.plane_res,
+                style_dim=self.latent_code_dim,
+                middle_size=self.plane_middle_size,
+                inp_size=self.cond_res, inp_ch=7, n_mlp=4,
+                compute_dtype=self.compute_dtype,
+            )
+            self.YZ_gen = PlaneGenerator(
+                out_ch=self.plane_feat_dim, out_size=self.plane_res,
+                style_dim=self.latent_code_dim,
+                middle_size=self.plane_middle_size,
+                inp_size=self.cond_res, inp_ch=13, n_mlp=4,
+                compute_dtype=self.compute_dtype,
+            )
+        elif self.enc_mode == "shared_backbone":
+            # one trunk emits both planes stacked on channels
+            # (model/nerf_model.py:33-34, 73-77). The reference's own
+            # construction omits no_skip=True there, which would make its
+            # forward return a 4*out_ch wavelet skip and crash the plane
+            # split — we build the intended no_skip configuration.
+            self.XY_gen = PlaneGenerator(
+                out_ch=2 * self.plane_feat_dim, out_size=self.plane_res,
+                style_dim=self.latent_code_dim, middle_size=16,
+                inp_size=self.cond_res, inp_ch=20, n_mlp=4,
+                compute_dtype=self.compute_dtype,
+            )
+        elif self.enc_mode == "two_head":
+            # shared trunk to 32², then per-plane cond-injected heads
+            # (model/nerf_model.py:36-37)
+            self.XY_gen = TwoHeadPlaneGenerator(
+                out_ch=self.plane_feat_dim, out_size=self.plane_res,
+                style_dim=self.latent_code_dim, middle_size=8, split_size=32,
+                inp_size=self.cond_res, inp_ch=(7, 13), n_mlp=4,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            raise ValueError(f"unknown enc_mode {self.enc_mode!r}")
         self.gridwarper = BoxWarp.from_bounds(self.xyz_bounding)
         self.layer0 = nn.Dense(self.hidden, dtype=cdt)
         self.layer1 = nn.Dense(self.hidden, dtype=cdt)
@@ -97,8 +130,17 @@ class DoublePlaneNeRFField(nn.Module):
         # flip left cond horizontally so the right plane satisfies
         # top-left=(-1,-1) (model/nerf_model.py:70); drop its mask channel
         left = jnp.flip(left_cond, axis=2)[..., :-1]
-        xy = self.XY_gen(z, front_cond)
-        zy = self.YZ_gen(z, jnp.concatenate([left, right_cond], axis=-1))
+        if self.enc_mode == "shared_backbone":
+            both = self.XY_gen(z, jnp.concatenate(
+                [front_cond, left, right_cond], axis=-1))
+            xy = both[..., :self.plane_feat_dim]
+            zy = both[..., self.plane_feat_dim:]
+        elif self.enc_mode == "two_head":
+            xy, zy = self.XY_gen(
+                z, front_cond, jnp.concatenate([left, right_cond], axis=-1))
+        else:
+            xy = self.XY_gen(z, front_cond)
+            zy = self.YZ_gen(z, jnp.concatenate([left, right_cond], axis=-1))
         return jnp.stack([xy, zy], axis=0)
 
     def sample_plane_features(self, pts: jnp.ndarray, planes: jnp.ndarray) -> jnp.ndarray:

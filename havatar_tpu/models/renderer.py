@@ -48,6 +48,7 @@ class AvatarRenderer(nn.Module):
     plane_res: int = 128
     cond_res: int = 256
     plane_middle_size: int = 16
+    enc_mode: str = "split"     # 'split' | 'shared_backbone' | 'two_head'
     feat_dim: int = 64
     render_size: int = 128
     skin_vol_res: int = 64
@@ -85,6 +86,7 @@ class AvatarRenderer(nn.Module):
             plane_res=self.plane_res,
             cond_res=self.cond_res,
             plane_middle_size=self.plane_middle_size,
+            enc_mode=self.enc_mode,
             feat_dim=self.feat_dim,
             compute_dtype=self.compute_dtype,
             use_pallas_mlp=self.use_pallas_mlp,

@@ -48,6 +48,7 @@ def build_renderer(cfg) -> AvatarRenderer:
         plane_feat_dim=coarse.get("plane_feat_dim", 64),
         plane_res=coarse.get("plane_res", 128),
         plane_middle_size=coarse.get("plane_middle_size", 16),
+        enc_mode=coarse.get("enc_mode", "split"),
         skin_vol_res=coarse.get("skin_vol_res", 64),
         feat_dim=cfg.models.StyleUnet.inp_ch,
         compute_dtype=cfg.models.get("compute_dtype", "float32"),
