@@ -22,7 +22,7 @@ Weight-layout rules:
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -200,8 +200,14 @@ def convert_styleunet(sd: Mapping, prefix: str = "", out_size: int = 512,
 
 
 def convert_discriminator(sd: Mapping, prefix: str = "",
-                          size: int = 512, c_dim: int = 0) -> Dict[str, Any]:
+                          size: int = 512,
+                          c_dim: Optional[int] = None) -> Dict[str, Any]:
+    """``c_dim=None`` auto-detects the pose-conditional projection head
+    from the state dict (``mapping.*`` present iff the reference built it
+    with c_dim>0, model/styleUnet.py:514-533)."""
     p = (prefix + ".") if prefix else ""
+    if c_dim is None:
+        c_dim = 1 if f"{p}mapping.0.weight" in sd else 0
     log_size = int(math.log2(size)) - 1
     n_blocks = len(range(log_size, 2, -1))
     out: Dict[str, Any] = {}
@@ -236,17 +242,90 @@ def convert_volume_decoder(sd: Mapping, prefix: str,
     return {"params": params, "buffers": buffers}
 
 
-def convert_nerf_field(sd: Mapping, prefix: str = "model_coarse") -> Dict[str, Any]:
+def _n_indexed(sd: Mapping, prefix: str) -> int:
+    """Highest integer submodule index under ``prefix.{i}.*`` plus one
+    (0 when none) — recovers torch ModuleList lengths from a state dict."""
+    n = -1
+    pre = prefix + "."
+    for k in sd:
+        if k.startswith(pre):
+            head = k[len(pre):].split(".", 1)[0]
+            if head.isdigit():
+                n = max(n, int(head))
+    return n + 1
+
+
+def _plane_geom(sd: Mapping, gen: str) -> Dict[str, int]:
+    """StyleGAN_zxc geometry from its state-dict keys: middle size from the
+    constant input, out_size from the upsampling conv count, inp_size from
+    the condition-encoder depth (model/styleUnet.py construction)."""
+    middle = int(_np(sd[f"{gen}.input.input"]).shape[-1])
+    n_up = _n_indexed(sd, f"{gen}.convs") // 2
+    n_enc = _n_indexed(sd, f"{gen}.cond_convs")
+    n_mlp = _n_indexed(sd, f"{gen}.style") - 1      # style.0 is PixelNorm
+    return {"out_size": middle << n_up, "middle_size": middle,
+            "inp_size": 1 << (n_enc + int(math.log2(middle)) + 2),
+            "n_mlp": n_mlp}
+
+
+def _two_head_geom(sd: Mapping, gen: str) -> Dict[str, int]:
+    """StyleGAN_zxc_twoHead geometry: trunk convs end at split_size, the
+    per-plane ``convs_head`` pyramids continue to out_size."""
+    middle = int(_np(sd[f"{gen}.input.input"]).shape[-1])
+    split = middle << (_n_indexed(sd, f"{gen}.convs") // 2)
+    out_size = split << (_n_indexed(sd, f"{gen}.convs_head") // 2)
+    n_enc = _n_indexed(sd, f"{gen}.cond_convs")
+    n_mlp = _n_indexed(sd, f"{gen}.style") - 1
+    return {"out_size": out_size, "middle_size": middle,
+            "split_size": split,
+            "inp_size": 1 << (n_enc + int(math.log2(split)) + 1),
+            "n_mlp": n_mlp}
+
+
+def convert_nerf_field(sd: Mapping, prefix: str = "model_coarse",
+                       enc_mode: Optional[str] = None) -> Dict[str, Any]:
+    """``enc_mode=None`` auto-detects the reference's encoder variant from
+    the state-dict keys (model/nerf_model.py:27-41): 'split' builds
+    XY_gen + YZ_gen, 'two_head' a single StyleGAN_zxc_twoHead (its
+    per-plane heads appear as ``convs_head`` keys), 'shared_backbone' a
+    single double-width StyleGAN_zxc. Generator geometry (plane res,
+    middle/split sizes, condition resolution) is likewise recovered from
+    the keys, so non-default triplane_res checkpoints convert correctly."""
     p = (prefix + ".") if prefix else ""
+    if enc_mode is None:
+        enc_mode = detect_nerf_enc_mode(sd, prefix)
+    if enc_mode == "split":
+        gens = {g: convert_plane_generator(sd, f"{p}{g}",
+                                           **_plane_geom(sd, f"{p}{g}"))
+                for g in ("XY_gen", "YZ_gen")}
+    elif enc_mode == "two_head":
+        gens = {"XY_gen": convert_two_head_generator(
+            sd, f"{p}XY_gen", **_two_head_geom(sd, f"{p}XY_gen"))}
+    elif enc_mode == "shared_backbone":
+        gens = {"XY_gen": convert_plane_generator(
+            sd, f"{p}XY_gen", **_plane_geom(sd, f"{p}XY_gen"))}
+    else:
+        raise ValueError(f"unknown enc_mode {enc_mode!r}")
     return {
-        "XY_gen": convert_plane_generator(sd, f"{p}XY_gen"),
-        "YZ_gen": convert_plane_generator(sd, f"{p}YZ_gen"),
+        **gens,
         "layer0": _kernel(_linear(sd, f"{p}layers_xyz.0")),
         "layer1": _kernel(_linear(sd, f"{p}layers_xyz.1")),
         "fc_alpha": _kernel(_linear(sd, f"{p}fc_alpha")),
         "fc_rgbFeat": _kernel(_linear(sd, f"{p}fc_rgbFeat")),
         "fc_rgb": _kernel(_linear(sd, f"{p}fc_rgb")),
     }
+
+
+def detect_nerf_enc_mode(sd: Mapping, prefix: str = "model_coarse") -> str:
+    """The enc_mode a reference state dict was trained with (see
+    convert_nerf_field); exposed so loaders can build the matching
+    DoublePlaneNeRFField."""
+    p = (prefix + ".") if prefix else ""
+    if any(k.startswith(f"{p}YZ_gen.") for k in sd):
+        return "split"
+    if any(k.startswith(f"{p}XY_gen.convs_head.") for k in sd):
+        return "two_head"
+    return "shared_backbone"
 
 
 def _kernel(lin: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -234,6 +234,18 @@ class TwoHeadPlaneGenerator(nn.Module):
 
     @nn.compact
     def __call__(self, styles, cond_front, cond_side):
+        # misconfiguration guard: at out_size <= split_size the head loops
+        # are empty, both planes collapse to a 1x1 conv of the shared trunk
+        # and the condition images are silently ignored; likewise the
+        # injecting encoder needs at least one stage above split_size
+        assert self.out_size > self.split_size, (
+            f"TwoHeadPlaneGenerator: out_size ({self.out_size}) must exceed "
+            f"split_size ({self.split_size}) or the per-plane heads are "
+            f"empty and the condition images have no effect")
+        assert self.inp_size // 2 >= self.split_size, (
+            f"TwoHeadPlaneGenerator: inp_size ({self.inp_size}) must be >= "
+            f"2*split_size ({2 * self.split_size}) for a non-empty condition "
+            f"encoder")
         ch = channel_map(self.channel_multiplier)
         B = cond_front.shape[0]
         cdt = jnp.dtype(self.compute_dtype)

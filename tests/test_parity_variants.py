@@ -138,20 +138,92 @@ def test_enc_mode_variants_run_end_to_end():
     pins the intended semantics rather than torch outputs)."""
     import jax
 
-    B, R, Cp = 1, 16, 8
+    B, Cp = 1, 8
     rng = jax.random.PRNGKey(0)
     latents = jnp.zeros((B, 32))
     cond_c = jnp.zeros((B, 12))
-    conds = [jnp.full((B, 64, 64, 7), 0.5)] * 3
-    for mode in ("shared_backbone", "two_head"):
+    # two_head: plane_res must EXCEED the hardcoded split_size=32 so the
+    # per-plane heads have at least one encoder-injected stage (at
+    # plane_res=32 the heads are empty and TwoHeadPlaneGenerator asserts)
+    for mode, plane_res, cond_res in (("shared_backbone", 32, 64),
+                                      ("two_head", 64, 128)):
+        conds = [jnp.full((B, cond_res, cond_res, 7), 0.5)] * 3
         field = DoublePlaneNeRFField(
-            latent_code_dim=44, plane_feat_dim=Cp, plane_res=32,
-            cond_res=64, plane_middle_size=16, enc_mode=mode)
+            latent_code_dim=44, plane_feat_dim=Cp, plane_res=plane_res,
+            cond_res=cond_res, plane_middle_size=16, enc_mode=mode)
         variables = field.init(rng, latents, cond_c, *conds,
                                method=field.generate_planes)
         planes = field.apply(variables, latents, cond_c, *conds,
                              method=field.generate_planes)
-        assert planes.shape == (2, B, 32, 32, Cp), (mode, planes.shape)
+        assert planes.shape == (2, B, plane_res, plane_res, Cp), (
+            mode, planes.shape)
         assert bool(jnp.all(jnp.isfinite(planes))), mode
         # the two planes must differ (distinct heads / channel halves)
         assert float(jnp.max(jnp.abs(planes[0] - planes[1]))) > 1e-4, mode
+        if mode == "two_head":
+            # cond injection must reach the planes: different condition
+            # images -> different planes (the degenerate-head failure mode
+            # ADVICE r4 flagged produced pose-independent planes)
+            conds2 = [c + 0.25 for c in conds]
+            planes2 = field.apply(variables, latents, cond_c, *conds2,
+                                  method=field.generate_planes)
+            assert float(jnp.max(jnp.abs(planes - planes2))) > 1e-4
+
+
+def test_converter_variant_auto_dispatch():
+    """convert_nerf_field / convert_discriminator detect the reference
+    variant from state-dict keys (ADVICE r4: the top-level converters were
+    split/c_dim=0-only — a two_head checkpoint would KeyError and a
+    pose-conditional discriminator's mapping.* weights were dropped)."""
+    from model.styleUnet import Discriminator, StyleGAN_zxc, StyleGAN_zxc_twoHead
+
+    class CpuTwoHead(StyleGAN_zxc_twoHead):
+        def make_noise(self, device, zero_noise=False):
+            return super().make_noise("cpu", zero_noise=zero_noise)
+
+    def mlp_keys(feat_dim):
+        sd = {}
+        dims = [("layers_xyz.0", 2 * feat_dim + 48, 128),
+                ("layers_xyz.1", 128, 128), ("fc_alpha", 128, 1),
+                ("fc_rgbFeat", 128, 64), ("fc_rgb", 64, 3)]
+        for name, i, o in dims:
+            sd[f"{name}.weight"] = torch.randn(o, i)
+            sd[f"{name}.bias"] = torch.randn(o)
+        return sd
+
+    # two_head: single XY_gen with convs_head keys -> TwoHead converter
+    th = CpuTwoHead(out_ch=6, out_size=64, style_dim=12, middle_size=8,
+                    split_size=16, zero_latent=False, zero_noise=True,
+                    no_skip=True, n_mlp=4, inp_size=64, inp_ch=[7, 13]).eval()
+    sd = {f"XY_gen.{k}": v for k, v in th.state_dict().items()}
+    sd.update(mlp_keys(6))
+    assert C.detect_nerf_enc_mode(sd, prefix="") == "two_head"
+    params = C.convert_nerf_field(sd, prefix="")
+    assert "YZ_gen" not in params
+    assert "head0_conv0" in params["XY_gen"], sorted(params["XY_gen"])[:8]
+    want = C.convert_two_head_generator(th.state_dict(), out_size=64,
+                                        middle_size=8, split_size=16,
+                                        inp_size=64, n_mlp=4)
+    assert set(params["XY_gen"]) == set(want)
+
+    # shared_backbone: single double-width StyleGAN_zxc, no head keys
+    # no_skip=True: the intended sb configuration (the reference's own
+    # sb construction omits it and is non-functional — generators.py)
+    sb = StyleGAN_zxc(out_ch=12, out_size=32, style_dim=12, middle_size=16,
+                      zero_latent=False, zero_noise=True, no_skip=True,
+                      n_mlp=4, inp_size=64, inp_ch=20).eval()
+    sd = {f"XY_gen.{k}": v for k, v in sb.state_dict().items()}
+    sd.update(mlp_keys(6))
+    assert C.detect_nerf_enc_mode(sd, prefix="") == "shared_backbone"
+    params = C.convert_nerf_field(sd, prefix="")
+    assert "YZ_gen" not in params and "conv_in" in params["XY_gen"]
+
+    # discriminator: c_dim auto-detection keeps the projection head
+    d9 = Discriminator(size=64, img_channel=3, channel_multiplier=2,
+                       c_dim=9).eval()
+    out = C.convert_discriminator(d9.state_dict(), size=64)
+    assert "mapping0" in out and "mapping3" in out
+    d0 = Discriminator(size=64, img_channel=3, channel_multiplier=2,
+                       c_dim=0).eval()
+    out = C.convert_discriminator(d0.state_dict(), size=64)
+    assert "mapping0" not in out
