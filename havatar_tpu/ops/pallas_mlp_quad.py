@@ -306,29 +306,73 @@ def _frq_fwd(padding_mode, interpret, tile, plane_xy, plane_zy, warped, pe,
     return out, (plane_xy, plane_zy, warped, pe, params)
 
 
+_BWD_CHUNK_ROWS = 1 << 18
+"""Row-chunk size for the backward. At the reference stage-2 operating
+point the un-chunked backward holds three full-N f32 [1M, 8C] temps at
+once (fwd-gathered quads + re-gathered quads + the dq kernel output,
+~2 GB each at C=64) — the compile-measured peak was 16.29 GB against the
+chip's 15.75 GB HBM (round-4 queue, rc=1). Scanning the backward in
+256k-row chunks caps those temps at ~512 MB each; the splat and weight
+grads accumulate in f32 across chunks ([(H-1)(W-1), 4C] ~ 16 MB at
+plane_res 128). The kernel is bandwidth-bound, so the extra grid
+launches are noise; only f32 summation ORDER changes (chunk-major)."""
+
+
 def _frq_bwd(padding_mode, interpret, tile, res, g):
     plane_xy, plane_zy, warped, pe, params = res
     H, W, C = plane_xy.shape
     n_pe = pe.shape[1]
     t = _tile_for(plane_xy.dtype, tile, bwd=True)
 
-    quads, idx_xy, idx_zy = _gather_quads(plane_xy, plane_zy, warped,
-                                          padding_mode)
-    w8, pull = jax.vjp(lambda c: _w8(c, H, W, padding_mode), warped)
-    aux = jnp.concatenate([pe, w8], axis=-1)
     weights = _prep_weights(params, plane_xy.dtype, C, n_pe)
     hid = params["layer0"]["kernel"].shape[1]
     cf = params["fc_rgbFeat"]["kernel"].shape[1]
     out_rgb = params["fc_rgb"]["kernel"].shape[1]
+    N = warped.shape[0]
 
-    dq, daux, dws = _run_bwd(quads, aux, g, weights, C, n_pe, 2 * C + n_pe,
-                             hid, cf, out_rgb, interpret, t)
+    def piece_bwd(w_c, pe_c, g_c):
+        """Backward for one row chunk: re-gather, fused bwd kernel, splat.
+        Returns (dpacked_xy, dpacked_zy, dws, dwarped_c, dpe_c)."""
+        quads, idx_xy, idx_zy = _gather_quads(plane_xy, plane_zy, w_c,
+                                              padding_mode)
+        w8, pull = jax.vjp(lambda c: _w8(c, H, W, padding_mode), w_c)
+        aux = jnp.concatenate([pe_c, w8], axis=-1)
+        dq, daux, dws = _run_bwd(quads, aux, g_c, weights, C, n_pe,
+                                 2 * C + n_pe, hid, cf, out_rgb, interpret, t)
+        dpe_c = daux[:, :n_pe].astype(pe.dtype)
+        dwarped_c = pull(daux[:, n_pe:])[0].astype(warped.dtype)
+        dpk_xy = _splat_rows(dq[:, :4 * C], idx_xy, (H - 1) * (W - 1))
+        dpk_zy = _splat_rows(dq[:, 4 * C:], idx_zy, (H - 1) * (W - 1))
+        return dpk_xy, dpk_zy, dws, dwarped_c, dpe_c
 
-    dpe = daux[:, :n_pe].astype(pe.dtype)
-    dwarped = pull(daux[:, n_pe:])[0].astype(warped.dtype)
+    ch = _BWD_CHUNK_ROWS
+    if N <= ch:
+        dpacked_xy, dpacked_zy, dws, dwarped, dpe = piece_bwd(warped, pe, g)
+    else:
+        k = -(-N // ch)
+        pad = k * ch - N          # zero cotangent on pad rows -> zero grads
+        xs = (_pad_rows(warped, pad).reshape(k, ch, -1),
+              _pad_rows(pe, pad).reshape(k, ch, -1),
+              _pad_rows(g.astype(jnp.float32), pad).reshape(k, ch, -1))
 
-    dpacked_xy = _splat_rows(dq[:, :4 * C], idx_xy, (H - 1) * (W - 1))
-    dpacked_zy = _splat_rows(dq[:, 4 * C:], idx_zy, (H - 1) * (W - 1))
+        def body(carry, x):
+            acc_xy, acc_zy, acc_ws = carry
+            dpk_xy, dpk_zy, dws_c, dwarped_c, dpe_c = piece_bwd(*x)
+            acc_ws = tuple(a + b for a, b in zip(acc_ws, dws_c))
+            return ((acc_xy + dpk_xy, acc_zy + dpk_zy, acc_ws),
+                    (dwarped_c, dpe_c))
+
+        pk = ((H - 1) * (W - 1), 4 * C)
+        fin = 2 * C + n_pe
+        zeros_ws = tuple(jnp.zeros(s, jnp.float32) for s in (
+            (fin, hid), (1, hid), (hid, hid), (1, hid),
+            (hid, cf + 1), (1, cf + 1), (cf, out_rgb), (1, out_rgb)))
+        init = (jnp.zeros(pk, jnp.float32), jnp.zeros(pk, jnp.float32),
+                zeros_ws)
+        (dpacked_xy, dpacked_zy, dws), (dw_k, dpe_k) = jax.lax.scan(
+            body, init, xs)
+        dwarped = dw_k.reshape(k * ch, -1)[:N]
+        dpe = dpe_k.reshape(k * ch, -1)[:N]
 
     def unpack(dpacked, dtype):
         q = dpacked.reshape(H - 1, W - 1, 4, C)

@@ -136,3 +136,28 @@ def test_padding_rows_are_inert():
         lambda a, b: np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4),
         want, got)
+
+
+def test_chunked_backward_matches_unchunked(monkeypatch):
+    """The row-chunked backward (scanned re-gather + splat accumulation —
+    the round-5 fix for the f32 production-shape HBM OOM) is grad-identical
+    to the single-chunk path up to f32 summation order."""
+    from havatar_tpu.ops import pallas_mlp_quad as q
+
+    plane_xy, plane_zy, warped, pe, params, cot = setup_case(seed=11, N=96)
+
+    def loss(pxy, pzy, w, p, prm):
+        return jnp.sum(quad_fn(pxy, pzy, w, p, prm) * cot)
+
+    args = (plane_xy, plane_zy, warped, pe, params)
+    want = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    # chunk=40 over N=96 -> 3 chunks with 24 pad rows in the last
+    monkeypatch.setattr(q, "_BWD_CHUNK_ROWS", 40)
+    got = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+    for name, w, g in zip(["plane_xy", "plane_zy", "warped", "pe", "params"],
+                          want, got):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+                err_msg=name),
+            w, g)
