@@ -1,9 +1,10 @@
 #!/bin/bash
 # Serial TPU measurement queue (one process at a time — two OOM the chip).
 # Waits for the remote-compile relay to come back, then runs each probe.
-# Round-4 state: re-measure the stage-2 fast step at the round-3b lever
-# set (fixed-coords 3D-sampler VJP + halved quad backward tile landed
-# AFTER the last recorded 0.540 — VERDICT item 3), then the gated bench.
+# Round-5 state: sampling-schedule sweep (fps for the gated configs whose
+# fidelity the round-5 dB harness measures + blind re-measure for the
+# round-4 16.75-vs-17.24 regression check), then the two untried bf16
+# training variants against the <=0.5 s/iter stage-2 target.
 cd "$(dirname "$0")/.."
 log=/tmp/tpu_queue.log
 echo "=== queue start $(date -u) ===" >> "$log"
@@ -20,14 +21,11 @@ done
 
 run() {
   echo "--- $* $(date -u)" >> "$log"
-  timeout 3600 "$@" >> "$log" 2>&1
+  timeout 7200 "$@" >> "$log" 2>&1
   echo "--- rc=$? $(date -u)" >> "$log"
 }
 
-run python scripts/bench_train.py --only stage2_pallas_mlp_bf16_noremat
-run python scripts/bench_train.py --only stage2_skin_bf16_noremat
-run python bench.py
-run python scripts/bench_train.py --only stage2_quad_noremat
-run python scripts/bench_train.py --only stage2_noremat
-run python bench.py --blind --coarse 64
+run python scripts/sweep_sampling.py
+run python scripts/bench_train.py --only stage2_all_bf16_noremat
+run python scripts/bench_train.py --only stage2_quad_allfast_noremat
 echo "=== queue done $(date -u) ===" >> "$log"

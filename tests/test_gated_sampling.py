@@ -149,24 +149,104 @@ def test_tighten_preserves_layout_and_miss_renders_background():
     np.testing.assert_allclose(np.asarray(out["acc_fine"]), 0.0, atol=1e-6)
 
 
-def test_gated_hits_match_blind_when_density_inside_box():
-    """On rays that DO hit, gating at the SAME sample count must integrate
-    the same scene: compare gated vs blind renders where the gated interval
-    equals the blind interval (box spans the full [near, far] chord), so the
-    two must agree exactly."""
+def test_gated_render_matches_blind_on_real_density():
+    """Render-level fidelity of gating on ACTUALLY-TIGHTENED intervals over
+    nonzero density: blind 64+16 over a slack [near, far] vs gated 32+16
+    over the per-ray box chord (same spatial sample density), compared as
+    PSNR on the composited rgb.
+
+    Random init renders an almost-empty scene (any two schedules trivially
+    agree), so the field weights get CONSTRUCTED surgery making the density
+    box-contained BY the feature zero-padding (the structure mask-BCE
+    training produces, train_avatar.py:131-136):
+      * the ZY generator's conv_out act_bias is set to +1, so ZY plane
+        features are ~1 across the plane and exactly 0 outside the box in
+        (z, y) — the axes these near-axial rays actually traverse (XY-plane
+        features cannot gate z: they don't depend on it, which is why a
+        scale-everything surgery leaks density past the box and fails);
+      * hidden unit 0 is rewired to carry mean(ZY feats) through both
+        relu layers, and fc_alpha reads ONLY it: sigma = 2*h1[0] - 0.5 —
+        ~+1.5 in-box, -0.5 outside. rgb keeps the random init paths.
+    This is the WORST case for a sampling-schedule change (a hard density
+    step at the box faces: quadrature disagreement is maximal at edges),
+    measured 44.2 dB (docs/PERF.md round 5). The cross-implementation dB
+    numbers for the exact BENCH configuration live in
+    test_torch_checkpoint_files.py::test_stage2_checkpoint_file_gated_fidelity;
+    this one is torch-free and pins the renderer-level contract."""
+    import jax.numpy as jnp
+
     from havatar_tpu.models import AvatarRenderer
 
     renderer = AvatarRenderer(latent_code_dim=8, plane_feat_dim=16,
                               plane_res=16, cond_res=32, plane_middle_size=4,
-                              feat_dim=16, render_size=4, skin_vol_res=8)
-    B, R = 1, 16
-    # central rays: chord through the box z-range [-1.6, 1.2] from z=3 is
-    # t in [1.8, 4.6]; choose near/far INSIDE it so tightening is a no-op
+                              feat_dim=16, render_size=16, skin_vol_res=8)
+    B, R = 1, 256
+    rng = jax.random.PRNGKey(7)
+    # diverging portrait rays from z=3 with SLACK near/far [0.5, 6.0]:
+    # the box chord is ~[1.8, 4.6], so tightening is a real ~2x cut and
+    # blind-64 spacing (5.5/64=0.086) ~= gated-32 spacing (2.8/32=0.088)
+    d = jax.random.normal(rng, (B, R, 3)) * 0.05 + jnp.asarray([0., 0., -1.])
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     rays = jnp.concatenate([
-        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 3.0),
-        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), -1.0),
-        jnp.full((B, R, 1), 2.0), jnp.full((B, R, 1), 4.0)], -1)
+        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 3.0), d,
+        jnp.full((B, R, 1), 0.5), jnp.full((B, R, 1), 6.0)], -1)
     inv_T = jnp.broadcast_to(
         jnp.concatenate([jnp.eye(3), jnp.zeros((1, 3))], 0), (B, 4, 3))
+    bg = jax.random.uniform(jax.random.PRNGKey(3), (B, R, 3))
+    lat = jnp.zeros((B, 8))
+    conds = [jax.random.uniform(jax.random.PRNGKey(11 + i), (B, 32, 32, 7))
+             for i in range(3)]
+    nv = renderer.init(jax.random.PRNGKey(0), rays, bg, lat, inv_T, *conds,
+                       num_coarse=4, num_fine=2, perturb=False)
+    # constructed density surgery (see docstring). Layer0 input layout is
+    # [plane feats (2C, channel-interleaved c*P+p with p=1 the ZY plane —
+    # models/nerf_field.py field_inputs), posenc(48)].
+    p = jax.tree_util.tree_map(lambda x: x, nv)  # shallow-copyable pytree
+    f = p["params"]["field"]
+    C = renderer.plane_feat_dim
+    yz = f["YZ_gen"]
+    yz["conv_out"] = {**yz["conv_out"],
+                      "act_bias": yz["conv_out"]["act_bias"] * 0.0 + 1.0}
+    k0 = f["layer0"]["kernel"]
+    col0 = jnp.zeros((k0.shape[0],)).at[1:2 * C:2].set(1.0 / C)
+    f["layer0"]["kernel"] = k0.at[:, 0].set(col0)
+    f["layer0"]["bias"] = f["layer0"]["bias"].at[0].set(0.0)
+    f["layer1"]["kernel"] = (f["layer1"]["kernel"]
+                             .at[:, 0].set(0.0).at[0, 0].set(1.0))
+    f["layer1"]["bias"] = f["layer1"]["bias"].at[0].set(0.0)
+    f["fc_alpha"]["kernel"] = (f["fc_alpha"]["kernel"] * 0.0).at[0, 0].set(2.0)
+    f["fc_alpha"]["bias"] = f["fc_alpha"]["bias"] * 0.0 - 0.5
+
     gated = tighten_ray_near_far(rays, renderer.xyz_bounding, inv_T)
-    np.testing.assert_allclose(np.asarray(gated), np.asarray(rays), atol=1e-6)
+    span_blind = np.asarray(rays[..., 7] - rays[..., 6])
+    span_gated = np.asarray(gated[..., 7] - gated[..., 6])
+    # the intervals must be REALLY tightened (this is what the round-4
+    # version of this test failed to arrange)
+    assert span_gated.mean() < 0.65 * span_blind.mean()
+    assert (span_gated > 0).all()   # all rays hit
+
+    blind_out = renderer.apply(p, rays, bg, lat, inv_T, *conds,
+                               num_coarse=64, num_fine=16, perturb=False)
+    gated_out = renderer.apply(p, gated, bg, lat, inv_T, *conds,
+                               num_coarse=32, num_fine=16, perturb=False)
+    rgb_b = np.asarray(blind_out["rgb_fine"][..., :3])
+    rgb_g = np.asarray(gated_out["rgb_fine"][..., :3])
+    acc = np.asarray(blind_out["acc_fine"])
+    # the scene is real: opaque rays, foreground differs from background
+    assert acc.mean() > 0.5, f"scene too empty (acc {acc.mean():.4f})"
+    assert np.abs(rgb_b - np.asarray(bg)).mean() > 0.05
+
+    mse = float(np.mean((np.clip(rgb_g, 0, 1) - np.clip(rgb_b, 0, 1)) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-20))
+    # measured 44.2 dB on this scenario (docs/PERF.md round 5); the floor
+    # leaves ~4 dB for platform noise. A gating-math regression (wrong
+    # AABB, wrong interval, broken per-ray near/far) lands tens of dB
+    # below this (the pre-fix no-op test scored 8.4 dB on a leaking scene).
+    assert psnr >= 40.0, f"gated-vs-blind render PSNR {psnr:.2f} dB"
+
+    # and when the box already spans the chord, tightening is a no-op
+    inside = jnp.concatenate([rays[..., :6], jnp.full((B, R, 1), 2.0),
+                              jnp.full((B, R, 1), 4.0)], -1)
+    noop = tighten_ray_near_far(inside, renderer.xyz_bounding, inv_T)
+    np.testing.assert_allclose(np.asarray(noop), np.asarray(inside),
+                               atol=1e-6)
