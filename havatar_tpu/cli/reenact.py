@@ -56,7 +56,9 @@ def main() -> None:
                         "infer/reenact.py:make_reenact_fn)")
     p.add_argument("--coarse", type=int, default=0,
                    help="coarse samples/ray override (0 = config value; "
-                        "use 32 with --gated for the bench operating point)")
+                        "with --gated use 16 for the bench default "
+                        "[34 fps / 48.2 dB] or 32 for the quality knee "
+                        "[53.4 dB] — docs/PERF.md round 5)")
     args = p.parse_args()
 
     cfg = resolve_config(args.config)

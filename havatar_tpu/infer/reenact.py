@@ -53,9 +53,11 @@ def make_reenact_fn(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
     ``gated=True`` turns on occupancy-gated sampling (ops/rays.py:
     tighten_ray_near_far): per-ray near/far tightened to the avatar's
     head-pose-transformed world AABB, usually paired with a reduced
-    ``num_coarse`` (32 gated ≈ the blind 64's spatial density — the samples
-    concentrate in the ~half-length occupied chord; bench.py measures +50%
-    fps). Opt-in because it is NOT bit-identical to the reference's blind
+    ``num_coarse`` — the samples concentrate in the ~half-length occupied
+    chord. Measured operating points (docs/PERF.md round 5): 16 coarse =
+    the bench default (34.3 fps, 48.2 dB vs the reference's blind 64+16
+    frame), 32 = the quality knee (25.7 fps, 53.4 dB).
+    Opt-in because it is NOT bit-identical to the reference's blind
     march: rays keep their stratified spacing only within the tightened
     interval, so individual frames can differ by a few uint8 LSB where the
     blind march's extra empty-space samples shifted the fine-pass PDF. The
