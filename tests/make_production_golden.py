@@ -53,6 +53,14 @@ def main() -> None:
     })
     torch.manual_seed(0)
     trainer = RefTrainer(cfg, latent_codes_size=3)
+    # densify: raw random init renders an (almost) empty scene (mean acc
+    # ~1.5e-4) where the golden would pin little beyond background
+    # compositing; the plane-feature-driven surgery produces a dense
+    # avatar-shaped volume (acc ~0.95) so box warp, skinning, sampling,
+    # the field MLP and compositing all materially shape the pixels
+    from tests.test_torch_checkpoint_files import _densify_trainer
+
+    trainer = _densify_trainer(trainer)
 
     # deterministic portrait inputs (the parity harness geometry)
     R = 128 * 128
