@@ -31,6 +31,29 @@ import time
 import numpy as np
 
 
+def _wait_for_backend(max_wait_s: float = 1800.0) -> None:
+    """Retry a trivial compile until the remote-compile relay answers.
+
+    The axon backend's relay (the only way this environment reaches the
+    TPU compiler) goes down for stretches and fails with INTERNAL errors
+    mid-read; a bench invocation that lands in such a window would
+    otherwise die before measuring anything. Bounded, logs to stderr."""
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    while True:
+        try:
+            jax.jit(lambda x: x + 1)(jnp.ones((8, 128))).block_until_ready()
+            return
+        except Exception as e:                        # noqa: BLE001
+            if time.time() - t0 > max_wait_s:
+                raise
+            print(f"bench: backend probe failed ({type(e).__name__}); "
+                  f"retrying in 120 s", file=sys.stderr, flush=True)
+            time.sleep(120.0)
+
+
 def main() -> None:
     import argparse
 
@@ -57,6 +80,8 @@ def main() -> None:
     gated = not flags.blind
     num_coarse = flags.coarse if flags.coarse is not None else (
         16 if gated else 64)
+
+    _wait_for_backend()
 
     use_mesh = flags.mesh or jax.device_count() > 1
     mesh = None
