@@ -1,10 +1,9 @@
 #!/bin/bash
 # Serial TPU measurement queue (one process at a time — two OOM the chip).
 # Waits for the remote-compile relay to come back, then runs each probe.
-# Round-5 state: sampling-schedule sweep (fps for the gated configs whose
-# fidelity the round-5 dB harness measures + blind re-measure for the
-# round-4 16.75-vs-17.24 regression check), then the two untried bf16
-# training variants against the <=0.5 s/iter stage-2 target.
+# Round-5 end state: the sweep + training variants ran (results in
+# docs/PERF.md round 5); this queue now re-verifies the two headline
+# operating points end-to-end after any change.
 cd "$(dirname "$0")/.."
 log=/tmp/tpu_queue.log
 echo "=== queue start $(date -u) ===" >> "$log"
@@ -25,7 +24,6 @@ run() {
   echo "--- rc=$? $(date -u)" >> "$log"
 }
 
-run python scripts/sweep_sampling.py
+run python bench.py
 run python scripts/bench_train.py --only stage2_all_bf16_noremat
-run python scripts/bench_train.py --only stage2_quad_allfast_noremat
 echo "=== queue done $(date -u) ===" >> "$log"
