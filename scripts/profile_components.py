@@ -41,6 +41,11 @@ def main():
                     help="compute dtype (flagship inference uses bfloat16)")
     ap.add_argument("--no-pallas-mlp", action="store_true",
                     help="disable the fused Pallas field MLP")
+    ap.add_argument("--coarse", type=int, default=64)
+    ap.add_argument("--fine", type=int, default=16)
+    ap.add_argument("--gated", action="store_true",
+                    help="tighten per-ray near/far to the head AABB "
+                         "(the bench default pairs this with --coarse 16)")
     flags = ap.parse_args()
 
     B = 1
@@ -49,10 +54,19 @@ def main():
                               use_pallas_march=not flags.no_pallas_mlp)
     sr = StyleUNetSR(compute_dtype=flags.dtype)
 
-    R = 128 * 128
+    # the bench camera (diverging portrait rays — __graft_entry__) so gather
+    # coherence matches the headline measurement, not a degenerate ray set
+    from havatar_tpu.ops import get_rays_np
+
+    rs = 128
+    R = rs * rs
+    c2w = np.array([[1.0, 0.0, 0.0, 0.0],
+                    [0.0, -1.0, 0.0, -0.1],
+                    [0.0, 0.0, -1.0, 3.0]], dtype=np.float32)
+    ro_np, rd_np = get_rays_np(rs, rs, (1.2 * rs, 1.2 * rs, 0.5, 0.5), c2w)
     rays = jnp.concatenate([
-        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), 3.0),
-        jnp.zeros((B, R, 2)), jnp.full((B, R, 1), -1.0),
+        jnp.asarray(ro_np.reshape(1, R, 3)),
+        jnp.asarray(rd_np.reshape(1, R, 3)),
         jnp.full((B, R, 1), 1.4), jnp.full((B, R, 1), 4.0)], -1)
     bg = jnp.ones((B, R, 3))
     latent = jnp.zeros((B, 32))
@@ -94,11 +108,16 @@ def main():
     planes = jax.block_until_ready(planes)
 
     # (b) ray march given planes
+    if flags.gated:
+        from havatar_tpu.ops import tighten_ray_near_far
+
+        rays = tighten_ray_near_far(rays, renderer.xyz_bounding, inv_T)
+
     def march_fn(v, planes, rays, bg, inv_T):
         def one(i):
             out = renderer.apply(
                 v, planes + i * 1e-6, rays, bg, inv_T,
-                num_coarse=64, num_fine=16, perturb=False,
+                num_coarse=flags.coarse, num_fine=flags.fine, perturb=False,
                 method=AR.render_rays)
             return out["rgb_fine"]
         return jax.lax.map(one, jnp.arange(N, dtype=jnp.float32))
