@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from tests import torch_oracle
@@ -205,6 +206,11 @@ def test_converter_variant_auto_dispatch():
                                         middle_size=8, split_size=16,
                                         inp_size=64, n_mlp=4)
     assert set(params["XY_gen"]) == set(want)
+    # geometry recovery must be value-exact, not just key-compatible
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        params["XY_gen"], want)
 
     # shared_backbone: single double-width StyleGAN_zxc, no head keys
     # no_skip=True: the intended sb configuration (the reference's own
