@@ -339,13 +339,18 @@ def _kernel(lin: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 def convert_renderer(sd: Mapping, prefix: str = "") -> Dict[str, Any]:
     """Reference Trainer state_dict -> AvatarRenderer variables + latent codes.
 
-    Returns {"params": ..., "buffers": ..., "latent_codes": np or None}.
+    Returns {"params": ..., "buffers": ..., "latent_codes": np or None,
+    "enc_mode": detected variant} — loaders use ``enc_mode`` to build (or
+    check) the matching DoublePlaneNeRFField instead of trusting the
+    config to agree with the checkpoint.
     """
     p = (prefix + ".") if prefix else ""
     vd = convert_volume_decoder(sd, f"{p}headpose_skin_net.canonical_Wvolume")
+    enc_mode = detect_nerf_enc_mode(sd, f"{p}model_coarse")
     variables = {
         "params": {
-            "field": convert_nerf_field(sd, f"{p}model_coarse"),
+            "field": convert_nerf_field(sd, f"{p}model_coarse",
+                                        enc_mode=enc_mode),
             "skinning": {"canonical_volume": vd["params"]},
         },
         "buffers": {
@@ -356,6 +361,7 @@ def convert_renderer(sd: Mapping, prefix: str = "") -> Dict[str, Any]:
     return {
         "variables": variables,
         "latent_codes": _np(latent) if latent is not None else None,
+        "enc_mode": enc_mode,
     }
 
 

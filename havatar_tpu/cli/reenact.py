@@ -24,17 +24,22 @@ from havatar_tpu.infer.reenact import run_reenactment
 
 
 def load_inference_weights(ckpt_path: str):
-    """Returns (renderer variables, latent_codes, g_ema params)."""
+    """Returns (renderer variables, latent_codes, g_ema params, enc_mode).
+
+    ``enc_mode`` is the plane-encoder variant detected from a reference
+    torch checkpoint's keys (None for orbax checkpoints, which were
+    written by these trainers under the config that describes them)."""
     if ckpt_path.endswith((".pt", ".ckpt")):
         conv = convert.convert_stage2_checkpoint(ckpt_path)
         assert conv["latent_codes"] is not None, "checkpoint lacks latent_codes"
         assert conv["g_ema"] is not None, "checkpoint lacks g_ema"
-        return conv["variables"], conv["latent_codes"], conv["g_ema"]["params"]
+        return (conv["variables"], conv["latent_codes"],
+                conv["g_ema"]["params"], conv["enc_mode"])
     restored = CheckpointManager(ckpt_path).restore()
     assert restored is not None, f"no checkpoint found in {ckpt_path}"
     variables = {"params": restored["nerf_params"],
                  "buffers": restored["nerf_buffers"]}
-    return variables, restored["latent_codes"], restored["g_ema_params"]
+    return variables, restored["latent_codes"], restored["g_ema_params"], None
 
 
 def main() -> None:
@@ -64,7 +69,16 @@ def main() -> None:
     cfg = resolve_config(args.config)
     seed_everything(cfg.experiment.randomseed)
 
-    variables, latent_codes, g_ema = load_inference_weights(args.ckpt)
+    variables, latent_codes, g_ema, ckpt_enc = load_inference_weights(
+        args.ckpt)
+    if ckpt_enc is not None:
+        cfg_enc = cfg.models.coarse.get("enc_mode", "split")
+        if ckpt_enc != cfg_enc:
+            # build the field the CHECKPOINT was trained with — the config
+            # default would mismatch the converted params tree
+            print(f"checkpoint enc_mode {ckpt_enc!r} overrides config "
+                  f"{cfg_enc!r}")
+            cfg.models.coarse.enc_mode = ckpt_enc
     stats = run_reenactment(
         cfg, args.split, args.savedir, variables, latent_codes, g_ema,
         seed=cfg.experiment.randomseed,

@@ -78,7 +78,8 @@ def test_stage2_checkpoint_file_and_inference_loader(tmp_path,
     # the reenactment CLI loader accepts the torch file directly
     from havatar_tpu.cli.reenact import load_inference_weights
 
-    variables, latent_codes, g_ema = load_inference_weights(path)
+    variables, latent_codes, g_ema, enc_mode = load_inference_weights(path)
+    assert enc_mode == "split"
     assert latent_codes.shape == (3, 32)
     assert "field" in variables["params"]
     assert "style" in g_ema
@@ -163,7 +164,7 @@ def _our_float_frame(path, inp, num_coarse, num_fine, gated=False):
                                 "perturb": False,
                                 "radiance_field_noise_std": 0.0}},
     })
-    variables, latent_codes, g_ema = load_inference_weights(path)
+    variables, latent_codes, g_ema, _ = load_inference_weights(path)
     renderer = build_renderer(cfg)
     generator = StyleUNetSR(inp_size=128, inp_ch=64, out_ch=3, out_size=512,
                             style_dim=64, n_mlp=4, middle_size=8)
