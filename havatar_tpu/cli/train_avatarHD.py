@@ -155,11 +155,28 @@ def main() -> None:
                     state = state._replace(g_params=gconv["g"]["params"],
                                            d_params=gconv["d"]["params"],
                                            g_ema_params=gconv["g_ema"]["params"])
-        else:
+        elif args.continue_training:
+            # stage-2 orbax dir: full training state
             restored = CheckpointManager(args.ckpt).restore(
                 template=state._asdict())
             if restored is not None:
                 state = stage2.Stage2State(**restored)
+        else:
+            # stage-1 orbax dir: warm-start the NeRF side only (the
+            # reference's default --ckpt semantics, train_avatarHD.py:
+            # 137-159). Raw restore — the stage-1 TrainState tree
+            # (params/buffers/latent_codes/opt_state) is not Stage2State.
+            raw = CheckpointManager(args.ckpt).restore()
+            if raw is not None:
+                if "params" not in raw:
+                    raise SystemExit(
+                        f"{args.ckpt} holds a stage-2 checkpoint "
+                        f"(keys {sorted(raw)[:4]}…); pass "
+                        f"--continue-training to resume stage-2 from it")
+                state = state._replace(
+                    nerf_params=raw["params"],
+                    nerf_buffers=raw["buffers"],
+                    latent_codes=jnp.asarray(raw["latent_codes"]))
 
     from havatar_tpu.train.lpips_jax import load_lpips_file
 

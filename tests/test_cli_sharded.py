@@ -89,3 +89,36 @@ def test_train_avatarHD_cli_sharded(tmp_path):
         "--config", TINY_HD, "--max-iters", "2"], cwd=REPO)
     assert "data mesh: 2 devices" in out
     assert "iter 1" in out
+
+@pytest.mark.slow
+def test_train_avatarHD_warm_start_from_stage1_orbax(tmp_path):
+    """The reference's default --ckpt semantics (train_avatarHD.py:137-159):
+    a STAGE-1 checkpoint warm-starts the NeRF side of a fresh stage-2 run.
+    Regression for the round-5 e2e find: the orbax branch restored with a
+    Stage2State template, so every stage-1 orbax dir failed with
+    all-params-MISSING (only torch .pt stage-1 files worked)."""
+    root = str(tmp_path / "synth64")
+    make_dataset(root, num_frames=4, img_res=64, cond_res=64)
+    _run_cli("havatar_tpu.cli.train_avatar", [
+        "--datadir", root, "--logdir", str(tmp_path / "l1"),
+        "--config", TINY_HD, "--max-iters", "1", "--pretrain-iters", "0",
+        "--batch-size", "2"], cwd=REPO)
+    ckpt = str(tmp_path / "l1" / "checkpoints")
+    assert os.listdir(ckpt), "stage-1 saved no checkpoint"
+    out = _run_cli("havatar_tpu.cli.train_avatarHD", [
+        "--datadir", root, "--logdir", str(tmp_path / "l2"),
+        "--config", TINY_HD, "--ckpt", ckpt, "--max-iters", "2"], cwd=REPO)
+    assert "iter 1" in out
+    # and a stage-2 dir without --continue-training fails with guidance
+    env_ckpt = str(tmp_path / "l2" / "checkpoints")
+    res = subprocess.run(
+        [sys.executable, "-m", "havatar_tpu.cli.train_avatarHD",
+         "--datadir", root, "--logdir", str(tmp_path / "l3"),
+         "--config", TINY_HD, "--ckpt", env_ckpt, "--max-iters", "1"],
+        cwd=REPO, env=dict(os.environ, JAX_PLATFORMS="cpu",
+                           HAVATAR_PLATFORM="cpu",
+                           PYTHONPATH=REPO + os.pathsep + os.environ.get(
+                               "PYTHONPATH", "")),
+        capture_output=True, text=True, timeout=1500)
+    assert res.returncode != 0
+    assert "--continue-training" in res.stdout + res.stderr
