@@ -122,3 +122,32 @@ def test_train_avatarHD_warm_start_from_stage1_orbax(tmp_path):
         capture_output=True, text=True, timeout=1500)
     assert res.returncode != 0
     assert "--continue-training" in res.stdout + res.stderr
+
+
+@pytest.mark.slow
+def test_cli_resume_paths(tmp_path):
+    """Stage-1 --ckpt (resume) and stage-2 --continue-training (resume)
+    restore their own orbax checkpoints — the template-matched siblings of
+    the warm-start path above, driven as real subprocesses."""
+    root = str(tmp_path / "synth64")
+    make_dataset(root, num_frames=4, img_res=64, cond_res=64)
+    _run_cli("havatar_tpu.cli.train_avatar", [
+        "--datadir", root, "--logdir", str(tmp_path / "l1"),
+        "--config", TINY_HD, "--max-iters", "1", "--pretrain-iters", "0",
+        "--batch-size", "2"], cwd=REPO)
+    ckpt1 = str(tmp_path / "l1" / "checkpoints")
+    out = _run_cli("havatar_tpu.cli.train_avatar", [
+        "--datadir", root, "--logdir", str(tmp_path / "l1b"),
+        "--config", TINY_HD, "--max-iters", "3", "--pretrain-iters", "0",
+        "--batch-size", "2", "--ckpt", ckpt1], cwd=REPO)
+    # resumed past the restored step, not from scratch
+    assert "Iter: 2" in out
+
+    _run_cli("havatar_tpu.cli.train_avatarHD", [
+        "--datadir", root, "--logdir", str(tmp_path / "l2"),
+        "--config", TINY_HD, "--ckpt", ckpt1, "--max-iters", "1"], cwd=REPO)
+    out = _run_cli("havatar_tpu.cli.train_avatarHD", [
+        "--datadir", root, "--logdir", str(tmp_path / "l2b"),
+        "--config", TINY_HD, "--ckpt", str(tmp_path / "l2" / "checkpoints"),
+        "--continue-training", "--max-iters", "3"], cwd=REPO)
+    assert "iter 2" in out
