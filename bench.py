@@ -6,14 +6,15 @@ super-resolution — end to end, device-resident, with per-frame changing
 inputs (conditions + head pose), exactly the per-frame work of the
 reference's reenactment loop (avatarHD_reenactment.py:151-170).
 
-Default schedule: occupancy-gated 16 coarse + 16 fine samples/ray
-(vs the reference's blind 64+16 over the dataset near/far). Measured
-fidelity of this operating point vs the reference's blind 64+16 frame:
-48.2 dB cross-implementation on a dense avatar-shaped checkpoint scene,
-42.2 dB renderer-level on a worst-case hard-density-step scene — both
-asserted in tests (test_torch_checkpoint_files.py, test_gated_sampling.py)
-and recorded with the full schedule frontier in docs/PERF.md round 5.
-``--coarse 32`` selects the quality-knee point (53.4 dB); ``--blind``
+Default schedule: occupancy-gated (gate_aabb halo) 16 coarse + 16 fine
+samples/ray vs the reference's blind 64+16 over the dataset near/far.
+Measured quality of this operating point (docs/PERF.md round 5, asserted
+in test_torch_checkpoint_files.py + test_gated_sampling.py): 47.6 dB
+agreement with the reference's frame on a dense checkpoint scene, and
+ground-truth accuracy within 1.0 dB of the reference schedule's own
+(44.9 vs 45.9 dB vs a dense blind 509+16 render) at 2.0x its frame
+rate. ``--coarse 32`` selects the quality knee — MORE accurate than the
+reference's blind 64+16 (48.5 vs 45.9 dB vs ground truth); ``--blind``
 reproduces the reference's exact schedule (112.9 dB, bit-level parity
 path).
 

@@ -51,12 +51,15 @@ def make_reenact_fn(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
     quantization would floor the measurement.
 
     ``gated=True`` turns on occupancy-gated sampling (ops/rays.py:
-    tighten_ray_near_far): per-ray near/far tightened to the avatar's
-    head-pose-transformed world AABB, usually paired with a reduced
-    ``num_coarse`` — the samples concentrate in the ~half-length occupied
-    chord. Measured operating points (docs/PERF.md round 5): 16 coarse =
-    the bench default (34.3 fps, 48.2 dB vs the reference's blind 64+16
-    frame), 32 = the quality knee (25.7 fps, 53.4 dB).
+    tighten_ray_near_far over ``renderer.gate_aabb`` — the avatar's
+    head-pose-transformed world AABB plus the one-texel feature-padding
+    halo), usually paired with a reduced ``num_coarse`` — the samples
+    concentrate in the ~half-length occupied chord. Measured operating
+    points (docs/PERF.md round 5): 16 coarse = the bench default
+    (34.3 fps, 47.6 dB agreement with the reference's blind 64+16 frame,
+    ground-truth accuracy within 1 dB of the reference schedule's own),
+    32 = the quality knee (25.7 fps, 50.0 dB agreement, MORE accurate
+    than the reference's schedule vs a dense ground truth).
     Opt-in because it is NOT bit-identical to the reference's blind
     march: rays keep their stratified spacing only within the tightened
     interval, so individual frames can differ by a few uint8 LSB where the
@@ -72,7 +75,7 @@ def make_reenact_fn(cfg, renderer: AvatarRenderer, generator: StyleUNetSR,
         if gated:
             from havatar_tpu.ops import tighten_ray_near_far
 
-            rays = tighten_ray_near_far(rays, renderer.xyz_bounding,
+            rays = tighten_ray_near_far(rays, renderer.gate_aabb,
                                         inv_head_T)
         render, _ = renderer.apply(
             nerf_vars, rays, bg, latent, inv_head_T, front, left, right,

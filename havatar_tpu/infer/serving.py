@@ -45,7 +45,7 @@ def _march(m: AvatarRenderer, planes, rays, bg, inv_T, skin_vol,
     if gated:
         from havatar_tpu.ops import tighten_ray_near_far
 
-        rays = tighten_ray_near_far(rays, m.xyz_bounding, inv_T)
+        rays = tighten_ray_near_far(rays, m.gate_aabb, inv_T)
     out = m.render_rays(
         planes, rays, bg, inv_T,
         num_coarse=num_coarse, num_fine=num_fine, perturb=False,

@@ -111,7 +111,7 @@ def main():
     if flags.gated:
         from havatar_tpu.ops import tighten_ray_near_far
 
-        rays = tighten_ray_near_far(rays, renderer.xyz_bounding, inv_T)
+        rays = tighten_ray_near_far(rays, renderer.gate_aabb, inv_T)
 
     def march_fn(v, planes, rays, bg, inv_T):
         def one(i):
