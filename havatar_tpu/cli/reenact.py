@@ -62,8 +62,10 @@ def main() -> None:
     p.add_argument("--coarse", type=int, default=0,
                    help="coarse samples/ray override (0 = config value; "
                         "with --gated use 16 for the bench default "
-                        "[34 fps / 48.2 dB] or 32 for the quality knee "
-                        "[53.4 dB] — docs/PERF.md round 5)")
+                        "[34 fps, accuracy within 1 dB of the blind "
+                        "schedule's own] or 32 for the quality knee "
+                        "[more accurate than blind 64+16 — docs/PERF.md "
+                        "round 5])")
     args = p.parse_args()
 
     cfg = resolve_config(args.config)

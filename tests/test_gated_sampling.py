@@ -155,8 +155,8 @@ def test_gated_render_matches_blind_on_real_density(nc, nf, floor):
     nonzero density: blind 64+16 over a slack [near, far] vs the gated
     schedule under test over the per-ray box chord, compared as PSNR on
     the composited rgb. Covers BOTH bench operating points: gated 32+16
-    (quality knee, 53.4 dB cross-impl) and gated 16+16 (the throughput
-    default, 48.2 dB cross-impl) — docs/PERF.md round 5.
+    (quality knee, 50.0 dB cross-impl agreement) and gated 16+16 (the
+    throughput default, 47.6 dB) — docs/PERF.md round 5.
 
     Random init renders an almost-empty scene (any two schedules trivially
     agree), so the field weights get CONSTRUCTED surgery making the density
