@@ -233,3 +233,61 @@ def test_converter_variant_auto_dispatch():
                        c_dim=0).eval()
     out = C.convert_discriminator(d0.state_dict(), size=64)
     assert "mapping0" not in out
+
+
+def test_two_head_checkpoint_through_field():
+    """A two_head reference checkpoint drives OUR field end-to-end: the
+    auto-dispatched converter output slots into DoublePlaneNeRFField(
+    enc_mode='two_head') at the field's hardcoded split (32) and
+    reproduces the torch generator's planes through generate_planes —
+    the path cli/reenact.py takes after detecting enc_mode from a torch
+    file (the reference's own trainer hardcodes 'split', so two_head
+    checkpoints come from direct model construction)."""
+    from model.styleUnet import StyleGAN_zxc_twoHead
+
+    from havatar_tpu.models.nerf_field import DoublePlaneNeRFField
+
+    class CpuTwoHead(StyleGAN_zxc_twoHead):
+        def make_noise(self, device, zero_noise=False):
+            return super().make_noise("cpu", zero_noise=zero_noise)
+
+    Cp, L = 8, 32
+    # middle_size=8 — the reference's two_head construction value
+    # (model/nerf_model.py:36), which the field hardcodes to match
+    ref = CpuTwoHead(out_ch=Cp, out_size=64, style_dim=L + 12,
+                     middle_size=8, split_size=32, zero_latent=False,
+                     zero_noise=True, no_skip=True, n_mlp=4, inp_size=128,
+                     inp_ch=[7, 13]).eval()
+    sd = {f"XY_gen.{k}": v for k, v in ref.state_dict().items()}
+    dims = [("layers_xyz.0", 2 * Cp + 48, 128), ("layers_xyz.1", 128, 128),
+            ("fc_alpha", 128, 1), ("fc_rgbFeat", 128, 64), ("fc_rgb", 64, 3)]
+    for name, i, o in dims:
+        sd[f"{name}.weight"] = torch.randn(o, i)
+        sd[f"{name}.bias"] = torch.randn(o)
+    assert C.detect_nerf_enc_mode(sd, prefix="") == "two_head"
+    params = C.convert_nerf_field(sd, prefix="")
+
+    field = DoublePlaneNeRFField(
+        latent_code_dim=L + 12, plane_feat_dim=Cp, plane_res=64,
+        cond_res=128, plane_middle_size=16, enc_mode="two_head")
+    B = 2
+    torch.manual_seed(5)
+    latents = torch.randn(B, L)
+    cond_c = torch.randn(B, 12)
+    front = torch.rand(B, 7, 128, 128)
+    left = torch.rand(B, 7, 128, 128)
+    right = torch.rand(B, 7, 128, 128)
+
+    planes = field.apply(
+        {"params": params}, jnp.asarray(latents.numpy()),
+        jnp.asarray(cond_c.numpy()), nhwc(front), nhwc(left), nhwc(right),
+        method=DoublePlaneNeRFField.generate_planes)
+
+    # the torch oracle fed exactly what generate_planes assembles:
+    # z = [latents, cond_c]; side = [flip(left) minus mask ch, right]
+    z = torch.cat([latents, cond_c], -1)
+    side = torch.cat([torch.flip(left, dims=[3])[:, :-1], right], 1)
+    with torch.no_grad():
+        want_xy, want_zy = ref([z], [front, side])
+    tol(np.asarray(planes[0]), want_xy.numpy().transpose(0, 2, 3, 1))
+    tol(np.asarray(planes[1]), want_zy.numpy().transpose(0, 2, 3, 1))
